@@ -1,0 +1,131 @@
+"""Pure-XLA ray / scene intersection: tiled brute force with a running
+closest-hit reduction ("flash-intersect" pattern — tiles of rays x tiles of
+triangles, carry (t, id, uv) like flash-attention carries the softmax state).
+
+This is the v0 backend that runs anywhere (CPU tests, TPU). It replaces the
+reference's OptiX launch (src/scene/scene_optix.cpp:80-126 +
+cuda/psdr_cuda.cu): same contract — detached closest-hit query returning
+(tri_id, barycentrics); gradients flow through the *recompute* in
+scene.ray_intersect, never through traversal.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import RayEpsilon
+
+
+class HitRecord(NamedTuple):
+    valid: jax.Array   # (N,) bool
+    tri_id: jax.Array  # (N,) int32 global triangle index, -1 on miss
+    uv: jax.Array      # (N, 2) barycentrics: p = p0 + e1*u + e2*v
+    t: jax.Array       # (N,) hit distance (inf on miss)
+
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _pad_to(x: jax.Array, n: int, value=0):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
+                        ray_o: jax.Array, ray_d: jax.Array,
+                        active: jax.Array | None = None,
+                        tmax: jax.Array | None = None,
+                        ray_block: int = 4096,
+                        tri_block: int = 256) -> HitRecord:
+    """Closest-hit over all triangles. All inputs are treated as detached.
+
+    p0/e1/e2: (F, 3) triangle SoA. ray_o/ray_d: (N, 3).
+    """
+    p0, e1, e2, ray_o, ray_d = map(jax.lax.stop_gradient,
+                                   (p0, e1, e2, ray_o, ray_d))
+    n_rays = ray_o.shape[0]
+    n_tris = p0.shape[0]
+
+    if active is None:
+        active = jnp.ones((n_rays,), bool)
+    else:
+        active = jax.lax.stop_gradient(active)
+    if tmax is None:
+        tmax = jnp.full((n_rays,), _INF)
+    else:
+        tmax = jax.lax.stop_gradient(jnp.broadcast_to(tmax, (n_rays,)))
+
+    tb = min(tri_block, max(8, n_tris))
+    f_pad = _ceil_to(n_tris, tb)
+    n_chunks = f_pad // tb
+    tp0 = _pad_to(p0, f_pad).reshape(n_chunks, tb, 3)
+    te1 = _pad_to(e1, f_pad).reshape(n_chunks, tb, 3)
+    te2 = _pad_to(e2, f_pad).reshape(n_chunks, tb, 3)
+    tvalid = _pad_to(jnp.ones((n_tris,), bool), f_pad).reshape(n_chunks, tb)
+
+    rb = min(ray_block, max(8, n_rays))
+    r_pad = _ceil_to(n_rays, rb)
+    n_rblocks = r_pad // rb
+    ro = _pad_to(ray_o, r_pad).reshape(n_rblocks, rb, 3)
+    rd = _pad_to(ray_d, r_pad).reshape(n_rblocks, rb, 3)
+    ract = _pad_to(active, r_pad).reshape(n_rblocks, rb)
+    rtmax = _pad_to(tmax, r_pad, value=0.0).reshape(n_rblocks, rb)
+
+    def ray_block_fn(args):
+        ro_b, rd_b, act_b, tmax_b = args
+
+        def body(carry, chunk):
+            t_best, id_best, uv_best = carry
+            cp0, ce1, ce2, cvalid, base = chunk
+            # Moeller-Trumbore over the (rb, tb) tile
+            h = jnp.cross(rd_b[:, None, :], ce2[None, :, :])
+            a = jnp.sum(ce1[None] * h, axis=-1)
+            f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+            s = ro_b[:, None, :] - cp0[None]
+            u = f * jnp.sum(s * h, axis=-1)
+            q = jnp.cross(s, ce1[None, :, :])
+            v = f * jnp.sum(rd_b[:, None, :] * q, axis=-1)
+            t = f * jnp.sum(ce2[None] * q, axis=-1)
+
+            hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > RayEpsilon) & (t < tmax_b[:, None])
+                   & cvalid[None, :] & act_b[:, None])
+            tm = jnp.where(hit, t, _INF)
+            j = jnp.argmin(tm, axis=1)
+            rows = jnp.arange(tm.shape[0])
+            t_c = tm[rows, j]
+            closer = t_c < t_best
+            t_best = jnp.where(closer, t_c, t_best)
+            id_best = jnp.where(closer, base + j.astype(jnp.int32), id_best)
+            uv_c = jnp.stack([u[rows, j], v[rows, j]], axis=-1)
+            uv_best = jnp.where(closer[:, None], uv_c, uv_best)
+            return (t_best, id_best, uv_best), None
+
+        init = (jnp.full((rb,), _INF),
+                jnp.full((rb,), -1, jnp.int32),
+                jnp.zeros((rb, 2), jnp.float32))
+        bases = (jnp.arange(n_chunks, dtype=jnp.int32) * tb)
+        (t_best, id_best, uv_best), _ = jax.lax.scan(
+            body, init, (tp0, te1, te2, tvalid, bases))
+        return t_best, id_best, uv_best
+
+    if n_rblocks == 1:
+        t_b, id_b, uv_b = ray_block_fn((ro[0], rd[0], ract[0], rtmax[0]))
+        t_all, id_all, uv_all = t_b[None], id_b[None], uv_b[None]
+    else:
+        t_all, id_all, uv_all = jax.lax.map(ray_block_fn, (ro, rd, ract, rtmax))
+
+    t = t_all.reshape(r_pad)[:n_rays]
+    tri_id = id_all.reshape(r_pad)[:n_rays]
+    uv = uv_all.reshape(r_pad, 2)[:n_rays]
+    return HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv, t=t)

@@ -1,0 +1,126 @@
+"""Discrete and hypercube sampling distributions.
+
+Parity reference: psdr-cuda src/core/pmf.cpp (DiscreteDistribution with
+``sample_reuse``) and src/core/cube_distrb.cpp (HyperCubeDistribution<2,3>).
+
+Everything is a static-shape pytree so distributions can live inside jitted
+scene state; gradients never flow through sampling (sampling uses detached
+masses, exactly like the reference which builds them from detached arrays).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Discrete(NamedTuple):
+    """Unnormalized pmf + inclusive cmf (pmf.cpp:7-14)."""
+    pmf: jax.Array   # (n,)
+    cmf: jax.Array   # (n,) inclusive prefix sum
+    total: jax.Array  # scalar = cmf[-1]
+
+    @property
+    def size(self) -> int:
+        return self.pmf.shape[0]
+
+
+def discrete_init(pmf: jax.Array) -> Discrete:
+    pmf = jax.lax.stop_gradient(pmf)
+    cmf = jnp.cumsum(pmf)
+    return Discrete(pmf=pmf, cmf=cmf, total=cmf[-1])
+
+
+def discrete_sample_reuse(d: Discrete, samples: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample indices ∝ pmf and remap the used samples back to [0, 1).
+
+    Returns (idx, pdf_normalized, samples_remapped). Parity: pmf.cpp:29-50.
+    """
+    s = samples * d.total
+    # first index i with cmf[i] >= s
+    idx = jnp.clip(jnp.searchsorted(d.cmf, s, side="left"), 0, d.size - 1)
+    idx = idx.astype(jnp.int32)
+    prev = jnp.where(idx > 0, d.cmf[jnp.maximum(idx - 1, 0)], 0.0)
+    residual = s - prev
+    pmf_i = d.pmf[idx]
+    remapped = jnp.clip(jnp.where(pmf_i > 0.0, residual / pmf_i, residual), 0.0, 1.0)
+    return idx, pmf_i / d.total, remapped
+
+
+def discrete_pdf(d: Discrete, idx: jax.Array) -> jax.Array:
+    return d.pmf[idx] / d.total
+
+
+class HyperCube(NamedTuple):
+    """Piecewise-constant distribution over a regular n-D grid
+    (cube_distrb.cpp:8-75). ``cells`` holds each flat cell's integer grid
+    coordinates; ``unit`` = 1/resolution.
+    """
+    distrb: Discrete
+    cells: jax.Array       # (num_cells, ndim) int32
+    resolution: jax.Array  # (ndim,) int32
+    unit: jax.Array        # (ndim,) float32
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.cells.shape[1]
+
+
+def hypercube_cells(resolution) -> jax.Array:
+    """Flat-index -> grid-coordinate decomposition (cube_distrb.cpp:8-29).
+
+    Row-major: last dim fastest.
+    """
+    reso = tuple(int(r) for r in resolution)
+    grids = jnp.meshgrid(*[jnp.arange(r, dtype=jnp.int32) for r in reso], indexing="ij")
+    return jnp.stack([g.reshape(-1) for g in grids], axis=-1)
+
+
+def hypercube_init(resolution, mass: jax.Array | None = None) -> HyperCube:
+    reso = jnp.asarray(resolution, jnp.int32)
+    cells = hypercube_cells(resolution)
+    n = cells.shape[0]
+    if mass is None:
+        mass = jnp.ones((n,), jnp.float32)
+    assert mass.shape[0] == n
+    return HyperCube(
+        distrb=discrete_init(mass),
+        cells=cells,
+        resolution=reso,
+        unit=1.0 / reso.astype(jnp.float32),
+    )
+
+
+def hypercube_set_mass(hc: HyperCube, mass: jax.Array) -> HyperCube:
+    return hc._replace(distrb=discrete_init(mass))
+
+
+def hypercube_sample_reuse(hc: HyperCube, samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """samples (..., ndim) in [0,1)^ndim -> (warped samples, pdf).
+
+    Picks a cell using the *last* component, then maps the remainder
+    uniformly inside the cell (cube_distrb.cpp:41-50).
+    """
+    idx, pdf, last = discrete_sample_reuse(hc.distrb, samples[..., -1])
+    samples = jnp.concatenate([samples[..., :-1], last[..., None]], axis=-1)
+    warped = (samples + hc.cells[idx].astype(samples.dtype)) * hc.unit
+    return warped, pdf * hc.num_cells
+
+
+def hypercube_pdf(hc: HyperCube, p: jax.Array) -> jax.Array:
+    """Density at points p (..., ndim) in [0,1)^ndim (cube_distrb.cpp:53-66)."""
+    reso = hc.resolution
+    ip = jnp.floor(p * reso.astype(p.dtype)).astype(jnp.int32)
+    valid = jnp.all((ip >= 0) & (ip < reso), axis=-1)
+    ndim = hc.ndim
+    idx = ip[..., 0]
+    for i in range(1, ndim):
+        idx = idx * reso[i] + ip[..., i]
+    idx = jnp.clip(idx, 0, hc.num_cells - 1)
+    pdf_norm = hc.distrb.pmf[idx] / hc.distrb.total
+    return jnp.where(valid, pdf_norm * hc.num_cells, 0.0)

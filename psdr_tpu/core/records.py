@@ -1,0 +1,111 @@
+"""Pytree record types flowing between sampling / shading stages.
+
+Parity reference: psdr-cuda include/psdr/core/{ray.h,intersection.h,records.h},
+include/psdr/bsdf/bsdf.h:10-20, include/psdr/sensor/sensor.h:11-23,
+include/psdr/edge/edge.h. The C/D (detached vs autodiff) type split collapses
+here: everything is a plain jnp pytree and jax.grad decides differentiation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .frame import Frame
+
+
+class Ray(NamedTuple):
+    o: jax.Array      # (..., 3)
+    d: jax.Array      # (..., 3)
+
+    def at(self, t: jax.Array) -> jax.Array:
+        return self.o + self.d * t[..., None]
+
+    def reversed(self) -> "Ray":
+        return Ray(self.o, -self.d)
+
+
+class Intersection(NamedTuple):
+    """Surface interaction (intersection.h:8-52).
+
+    ``J`` is the material-form reparameterization Jacobian: 1 in the
+    solid-angle formulation; face_area / stop_grad(face_area) in path space.
+    Integer ids replace the reference's per-lane object pointers.
+    """
+    valid: jax.Array      # (N,) bool
+    t: jax.Array          # (N,)
+    p: jax.Array          # (N, 3)
+    n: jax.Array          # (N, 3) geometric normal
+    sh_frame: Frame       # shading frame
+    uv: jax.Array         # (N, 2)
+    wi: jax.Array         # (N, 3) incident dir in local (shading) coords
+    J: jax.Array          # (N,)
+    mesh_id: jax.Array    # (N,) int32
+    tri_id: jax.Array     # (N,) int32, global triangle index
+    bsdf_id: jax.Array    # (N,) int32, -1 for none
+    emitter_id: jax.Array  # (N,) int32, -1 for none
+
+    def is_emitter(self) -> jax.Array:
+        return self.emitter_id >= 0
+
+
+class PositionSample(NamedTuple):
+    """records.h:24-31."""
+    valid: jax.Array   # bool
+    pdf: jax.Array
+    p: jax.Array       # (..., 3)
+    n: jax.Array       # (..., 3)
+    J: jax.Array
+
+
+class BSDFSample(NamedTuple):
+    """bsdf/bsdf.h:10-20; wo is in local shading coordinates."""
+    valid: jax.Array
+    pdf: jax.Array
+    wo: jax.Array      # (..., 3)
+
+
+class SensorDirectSample(NamedTuple):
+    """sensor/sensor.h:11-23: projection of a world point to the sensor."""
+    valid: jax.Array
+    q: jax.Array          # (..., 2) sample-plane coords in [0,1)^2
+    pixel_idx: jax.Array  # (...) int32, -1 if offscreen
+    sensor_val: jax.Array  # importance W
+
+
+class PrimaryEdgeSample(NamedTuple):
+    """edge/edge.h:14-24: a point on a screen-space silhouette edge."""
+    idx: jax.Array       # pixel index, -1 invalid
+    x_dot_n: jax.Array   # AD-carrying normal velocity of the edge point
+    ray_p: Ray           # offset ray on the positive side
+    ray_n: Ray           # offset ray on the negative side
+    pdf: jax.Array
+
+
+class BoundarySegSample(NamedTuple):
+    """records.h:35-44 BoundarySegSampleDirect: p0 on an edge (differentiable),
+    p2 on an emitter, pdf in area measure x direction factor."""
+    valid: jax.Array
+    p0: jax.Array     # (..., 3) differentiable edge point
+    edge: jax.Array   # (..., 3) normalized (detached) edge direction
+    edge2: jax.Array  # (..., 3) detached p2(edge endpoint-ish) - p0 of edge triangle
+    p2: jax.Array     # (..., 3) emitter point (detached)
+    n: jax.Array      # (..., 3) emitter normal
+    pdf: jax.Array
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """types.h:171-182 RenderOption. Static (hashable) jit-time config."""
+    width: int = 64
+    height: int = 64
+    spp: int = 1
+    sppe: int = 0
+    sppse: int = 0
+    log_level: int = 0
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

@@ -1,0 +1,2 @@
+from .scene import Scene, FlatScene, ray_intersect, scene_le, \
+    sample_emitter_position, emitter_position_pdf, sample_boundary_segment_direct

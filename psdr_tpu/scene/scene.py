@@ -1,0 +1,476 @@
+"""Scene container: host-side object graph + the pure, differentiable
+``build`` that produces the flattened device scene every render consumes.
+
+Parity reference: psdr-cuda src/scene/scene.cpp —
+* ``Scene.build`` == Scene::configure (scene.cpp:56-278): world-space
+  triangle/edge arrays scatter-packed across meshes, emitter distribution,
+  envmap bounding mesh, sensor primary-edge tables. It is a *pure function*
+  of the parameter pytree, so ``jax.grad`` flows through geometry exactly as
+  Enoki AD flows through the reference's re-configure();
+* ``ray_intersect`` == Scene::ray_intersect (scene.cpp:289-384): detached
+  closest-hit query + differentiable recompute in either the path-space
+  (fixed barycentrics, J = A/detach(A)) or solid-angle (differentiable
+  Moeller-Trumbore re-intersection) formulation;
+* ``sample_emitter_position`` / ``emitter_position_pdf`` (scene.cpp:426-453);
+* ``sample_boundary_segment_direct`` (scene.cpp:456-492).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import Epsilon, EdgeEpsilon
+from ..core.distribution import Discrete, discrete_init, discrete_sample_reuse
+from ..core.frame import make_frame, to_local
+from ..core.math import (bilinear, dot, norm, normalize, rgb2luminance,
+                         safe_sqrt, sign_eps, squared_norm,
+                         ray_intersect_triangle)
+from ..core.records import (BoundarySegSample, Intersection, PositionSample,
+                            Ray, RenderOptions)
+from ..accel.bruteforce import ray_intersect_brute
+from ..bsdf import Diffuse, RoughConductor
+from ..emitter import AreaLight, EnvironmentMap
+from ..emitter.envmap import (EnvmapState, configure_envmap,
+                              envmap_eval_direction, envmap_position_pdf,
+                              envmap_sample_position)
+from ..sensor.perspective import (PerspectiveCamera, PrimaryEdgeInfo,
+                                  SensorState, build_primary_edges,
+                                  configure_sensor, finalize_primary_edges)
+from ..shape.mesh import (Mesh, SecondaryEdgeInfo, TriangleInfo,
+                          compute_sec_edge_info, compute_triangle_info,
+                          sample_position)
+
+sg = jax.lax.stop_gradient
+
+
+class FlatScene(NamedTuple):
+    """Flattened differentiable scene state (one pytree)."""
+    tri: TriangleInfo            # (F,) world-space SoA
+    uv0: jax.Array               # (F, 2) per-corner texture uv
+    uv1: jax.Array
+    uv2: jax.Array
+    face_normal_mask: jax.Array  # (F,) bool — use face normals for shading
+    mesh_id: jax.Array           # (F,) int32
+    bsdf_id: jax.Array           # (F,) int32, -1 none
+    emitter_id: jax.Array        # (F,) int32, -1 none
+    sec_edge: SecondaryEdgeInfo  # (E,) stacked over meshes (E may be 0)
+    sec_distrb: Discrete
+    emitter_radiance: jax.Array  # (L, 3); zeros for non-area emitters
+    emitter_weight: jax.Array    # (L,) normalized sampling weights
+    emitter_inv_area: jax.Array  # (L,)
+    emitter_distrb: Discrete
+    emitter_face_distrb: tuple   # per-emitter Discrete over its mesh faces
+    sensors: tuple               # SensorState per sensor
+    bsdfs: tuple                 # per-bsdf param dicts
+    envmap: Optional[EnvmapState]
+    lower: jax.Array             # (3,) scene AABB
+    upper: jax.Array
+
+
+class Scene:
+    """Host-side scene. Mirrors the reference's Python-facing Scene
+    (src/psdr.cpp:268-280): load/configure/param_map plus object lists.
+    """
+
+    def __init__(self):
+        self.meshes: list[Mesh] = []
+        self.bsdfs: list = []
+        self.emitters: list = []
+        self.sensors: list[PerspectiveCamera] = []
+        self.opts = RenderOptions()
+        self.param_map: dict = {}
+        self._configured = False
+        self._flat_cache = None
+
+    # -- construction --------------------------------------------------------
+    def add_bsdf(self, bsdf, bsdf_id: str = "") -> int:
+        self.bsdfs.append(bsdf)
+        key = f"BSDF[id={bsdf_id}]" if bsdf_id else f"BSDF[{len(self.bsdfs)-1}]"
+        if bsdf_id:
+            bsdf.id = bsdf_id
+        self.param_map[key] = bsdf
+        return len(self.bsdfs) - 1
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        self.meshes.append(mesh)
+        self.param_map[f"Mesh[{len(self.meshes)-1}]"] = mesh
+        return len(self.meshes) - 1
+
+    def add_emitter(self, emitter) -> int:
+        self.emitters.append(emitter)
+        self.param_map[f"Emitter[{len(self.emitters)-1}]"] = emitter
+        if isinstance(emitter, AreaLight):
+            self.meshes[emitter.mesh_index].emitter_id = len(self.emitters) - 1
+        return len(self.emitters) - 1
+
+    def add_sensor(self, sensor: PerspectiveCamera) -> int:
+        self.sensors.append(sensor)
+        self.param_map[f"Sensor[{len(self.sensors)-1}]"] = sensor
+        return len(self.sensors) - 1
+
+    @property
+    def num_sensors(self) -> int:
+        return len(self.sensors)
+
+    @property
+    def envmap_index(self) -> int:
+        for i, e in enumerate(self.emitters):
+            if isinstance(e, EnvironmentMap):
+                return i
+        return -1
+
+    # -- parameters -----------------------------------------------------------
+    def params(self) -> dict:
+        return {
+            "meshes": [m.params() for m in self.meshes],
+            "bsdfs": [b.params() for b in self.bsdfs],
+            "emitters": [e.params() for e in self.emitters],
+            "sensors": [s.params() for s in self.sensors],
+        }
+
+    def set_params(self, p: dict) -> None:
+        for m, mp in zip(self.meshes, p["meshes"]):
+            m.set_params(mp)
+        for b, bp in zip(self.bsdfs, p["bsdfs"]):
+            b.set_params(bp)
+        for e, ep in zip(self.emitters, p["emitters"]):
+            e.set_params(ep)
+        for s, sp in zip(self.sensors, p["sensors"]):
+            s.set_params(sp)
+        self._flat_cache = None
+
+    def configure(self) -> "FlatScene":
+        """Build + cache the flat scene at the current parameters."""
+        self._flat_cache = self.build(self.params())
+        self._configured = True
+        return self._flat_cache
+
+    @property
+    def flat(self) -> "FlatScene":
+        if self._flat_cache is None:
+            self.configure()
+        return self._flat_cache
+
+    # -- the pure differentiable configure ------------------------------------
+    def build(self, params: dict) -> FlatScene:
+        assert self.meshes, "Missing meshes!"
+        assert self.sensors, "Missing sensor!"
+        with_edges = self.opts.sppse > 0 or self.opts.sppe > 0
+
+        # Per-mesh world geometry (mesh.cpp:215-274)
+        world_vps = []
+        tri_infos = []
+        face_offset = [0]
+        for mesh, mp in zip(self.meshes, params["meshes"]):
+            vp = mesh.world_positions(mp)
+            info, _ = compute_triangle_info(
+                vp, jnp.asarray(mesh.faces), mesh.num_vertices)
+            world_vps.append(vp)
+            tri_infos.append(info)
+            face_offset.append(face_offset[-1] + mesh.num_faces)
+
+        # scene AABB over detached vertices + camera positions
+        # (scene.cpp:88-119)
+        lows = [jnp.min(sg(vp), axis=0) for vp in world_vps]
+        highs = [jnp.max(sg(vp), axis=0) for vp in world_vps]
+        sensor_states = [configure_sensor(s, sp["to_world"],
+                                          (self.opts.width, self.opts.height))
+                         for s, sp in zip(self.sensors, params["sensors"])]
+        lows += [sg(st.camera_pos) for st in sensor_states]
+        highs += [sg(st.camera_pos) for st in sensor_states]
+        lower = jnp.min(jnp.stack(lows), axis=0)
+        upper = jnp.max(jnp.stack(highs), axis=0)
+
+        # envmap + bounding mesh (scene.cpp:134-180)
+        env_idx = self.envmap_index
+        envmap = None
+        bound_info = None
+        if env_idx >= 0:
+            margin = jnp.min((upper - lower) * 0.05)
+            lower = lower - margin
+            upper = upper + margin
+            envmap = configure_envmap(params["emitters"][env_idx], lower, upper)
+            corners = jnp.stack(
+                [jnp.stack([jnp.where(i & (1 << j), upper[j], lower[j])
+                            for j in range(3)]) for i in range(8)])
+            bound_faces = jnp.asarray(_BOUND_FACES, jnp.int32)
+            bound_info, _ = compute_triangle_info(corners, bound_faces, 8)
+
+        # global triangle arrays (scene.cpp:204-216)
+        tri = jax.tree.map(lambda *xs: jnp.concatenate(xs), *tri_infos,
+                           *( [bound_info] if bound_info is not None else [] ))
+        uv0_l, uv1_l, uv2_l, fmask_l, mid_l, bid_l, eid_l = [], [], [], [], [], [], []
+        for i, mesh in enumerate(self.meshes):
+            nf = mesh.num_faces
+            if mesh.uv is not None:
+                uvs = jnp.asarray(mesh.uv)
+                uvi = jnp.asarray(mesh.uv_idx, jnp.int32)
+                uv0_l.append(uvs[uvi[:, 0]])
+                uv1_l.append(uvs[uvi[:, 1]])
+                uv2_l.append(uvs[uvi[:, 2]])
+            else:
+                z = jnp.zeros((nf, 2), jnp.float32)
+                uv0_l.append(z); uv1_l.append(z); uv2_l.append(z)
+            fmask_l.append(jnp.full((nf,), mesh.use_face_normals))
+            mid_l.append(jnp.full((nf,), i, jnp.int32))
+            bid_l.append(jnp.full((nf,), mesh.bsdf_id, jnp.int32))
+            eid_l.append(jnp.full((nf,), mesh.emitter_id, jnp.int32))
+        if bound_info is not None:
+            z = jnp.zeros((12, 2), jnp.float32)
+            uv0_l.append(z); uv1_l.append(z); uv2_l.append(z)
+            fmask_l.append(jnp.full((12,), True))
+            mid_l.append(jnp.full((12,), len(self.meshes), jnp.int32))
+            bid_l.append(jnp.full((12,), -1, jnp.int32))
+            eid_l.append(jnp.full((12,), env_idx, jnp.int32))
+
+        # secondary-edge arrays (scene.cpp:218-244), masked not compacted
+        sec_list = []
+        for mesh, vp, info in zip(self.meshes, world_vps, tri_infos):
+            if mesh.enable_edges and with_edges and mesh.edge_indices.shape[0]:
+                sec_list.append(compute_sec_edge_info(vp, info, mesh.edge_indices))
+        if sec_list:
+            sec_edge = jax.tree.map(lambda *xs: jnp.concatenate(xs), *sec_list)
+        else:
+            z3 = jnp.zeros((1, 3), jnp.float32)
+            sec_edge = SecondaryEdgeInfo(valid=jnp.zeros((1,), bool),
+                                         is_boundary=jnp.zeros((1,), bool),
+                                         p0=z3, e1=z3, n0=z3, n1=z3, p2=z3)
+        sec_mass = jnp.where(sec_edge.valid, norm(sg(sec_edge.e1)), 0.0)
+        sec_distrb = discrete_init(sec_mass)
+
+        # emitters (scene.cpp:182-201)
+        n_emitters = max(len(self.emitters), 1)
+        radiance = jnp.zeros((n_emitters, 3), jnp.float32)
+        inv_area = jnp.zeros((n_emitters,), jnp.float32)
+        weights = []
+        face_distrbs = []
+        for i, em in enumerate(self.emitters):
+            if isinstance(em, AreaLight):
+                m = em.mesh_index
+                fa = tri_infos[m].face_area
+                total_area = jnp.sum(fa)
+                rad = params["emitters"][i]["radiance"]
+                radiance = radiance.at[i].set(rad)
+                inv_area = inv_area.at[i].set(1.0 / total_area)
+                weights.append(sg(total_area * rgb2luminance(sg(rad))))
+                face_distrbs.append(discrete_init(sg(fa)))
+            else:  # envmap: weight like reference default (envmap.h m_sampling_weight=1)
+                weights.append(jnp.asarray(1.0, jnp.float32))
+                face_distrbs.append(discrete_init(jnp.ones(1)))
+        if not self.emitters:
+            weights.append(jnp.asarray(1.0, jnp.float32))
+            face_distrbs.append(discrete_init(jnp.ones(1)))
+        w = jnp.stack(weights)
+        emitter_distrb = discrete_init(w)
+        emitter_weight = w / jnp.maximum(emitter_distrb.total, 1e-20)
+
+        # sensors: primary-edge tables (perspective.cpp:39-111)
+        if self.opts.sppe > 0:
+            new_states = []
+            for st in sensor_states:
+                rows = []
+                for mesh, vp, info in zip(self.meshes, world_vps, tri_infos):
+                    if mesh.enable_edges and mesh.edge_indices.shape[0]:
+                        rows.append(build_primary_edges(
+                            st, vp, info, mesh.edge_indices,
+                            mesh.use_face_normals))
+                if rows:
+                    stacked = PrimaryEdgeInfo(
+                        valid=jnp.concatenate([r.valid for r in rows]),
+                        p0=jnp.concatenate([r.p0 for r in rows]),
+                        p1=jnp.concatenate([r.p1 for r in rows]),
+                        edge_normal=jnp.concatenate([r.edge_normal for r in rows]),
+                        edge_length=jnp.concatenate([r.edge_length for r in rows]),
+                        distrb=rows[0].distrb)
+                    st = st._replace(edges=finalize_primary_edges(stacked))
+                new_states.append(st)
+            sensor_states = new_states
+
+        self.face_offset = face_offset
+        return FlatScene(
+            tri=tri,
+            uv0=jnp.concatenate(uv0_l), uv1=jnp.concatenate(uv1_l),
+            uv2=jnp.concatenate(uv2_l),
+            face_normal_mask=jnp.concatenate(fmask_l),
+            mesh_id=jnp.concatenate(mid_l),
+            bsdf_id=jnp.concatenate(bid_l),
+            emitter_id=jnp.concatenate(eid_l),
+            sec_edge=sec_edge, sec_distrb=sec_distrb,
+            emitter_radiance=radiance, emitter_weight=emitter_weight,
+            emitter_inv_area=inv_area, emitter_distrb=emitter_distrb,
+            emitter_face_distrb=tuple(face_distrbs),
+            sensors=tuple(sensor_states),
+            bsdfs=tuple(b_params for b_params in params["bsdfs"]),
+            envmap=envmap, lower=lower, upper=upper)
+
+    @property
+    def bsdf_kinds(self):
+        return tuple(b.kind for b in self.bsdfs)
+
+    def __repr__(self):
+        return ("Scene[\n  # Sensors\n  " + "\n  ".join(map(repr, self.sensors))
+                + "\n  # BSDFs\n  " + "\n  ".join(map(repr, self.bsdfs))
+                + "\n  # Meshes\n  " + "\n  ".join(map(repr, self.meshes)) + "\n]")
+
+
+_BOUND_FACES = [
+    [0, 1, 3], [0, 3, 2], [1, 5, 7], [1, 7, 3], [2, 3, 7], [2, 7, 6],
+    [0, 5, 1], [0, 4, 5], [0, 2, 6], [0, 6, 4], [4, 7, 5], [4, 6, 7],
+]
+
+
+# -- device-side scene queries (pure functions over FlatScene) ---------------
+
+def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
+                  path_space: bool = False, want_tri_info: bool = False):
+    """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
+    hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
+                              ray.o, ray.d, active)
+    valid = hit.valid & active
+    idx = jnp.maximum(hit.tri_id, 0)
+
+    tri: TriangleInfo = jax.tree.map(lambda a: a[idx], flat.tri)
+    fmask = flat.face_normal_mask[idx]
+
+    if path_space:
+        uv = sg(hit.uv)
+        p = bilinear(tri.p0, tri.e1, tri.e2, uv)
+        d = p - ray.o
+        t = norm(d)
+        d = d / jnp.maximum(t, 1e-20)[..., None]
+        wi_world = -d
+        J = tri.face_area / sg(tri.face_area)
+    else:
+        uv, t = ray_intersect_triangle(tri.p0, tri.e1, tri.e2, ray.o, ray.d)
+        p = ray.at(t)
+        wi_world = -ray.d
+        J = jnp.ones_like(t)
+
+    sh_n = normalize(bilinear(tri.n0, tri.n1 - tri.n0, tri.n2 - tri.n0, uv))
+    sh_n = jnp.where(fmask[..., None], tri.face_normal, sh_n)
+    frame = make_frame(sh_n)
+    uv_tex = bilinear(flat.uv0[idx], flat.uv1[idx] - flat.uv0[idx],
+                      flat.uv2[idx] - flat.uv0[idx], uv)
+
+    its = Intersection(
+        valid=valid, t=t, p=p, n=tri.face_normal, sh_frame=frame,
+        uv=uv_tex, wi=to_local(frame, wi_world), J=J,
+        mesh_id=flat.mesh_id[idx], tri_id=hit.tri_id,
+        bsdf_id=jnp.where(valid, flat.bsdf_id[idx], -1),
+        emitter_id=jnp.where(valid, flat.emitter_id[idx], -1))
+    if want_tri_info:
+        return its, tri
+    return its
+
+
+def scene_le(flat: FlatScene, its: Intersection, active: jax.Array) -> jax.Array:
+    """Emitted radiance toward the viewer at a hit (intersection.h Le +
+    area.cpp:20-29 one-sidedness; env hits via the bounding mesh)."""
+    active = active & its.is_emitter()
+    eid = jnp.maximum(its.emitter_id, 0)
+    front = its.wi[..., 2] > 0.0
+    le = jnp.where((active & front)[..., None],
+                   flat.emitter_radiance[eid], 0.0)
+    if flat.envmap is not None:
+        from ..core.frame import to_world as frame_to_world
+        wi_world = frame_to_world(its.sh_frame, its.wi)
+        env_mask = active & (its.bsdf_id < 0)
+        le = jnp.where(env_mask[..., None],
+                       envmap_eval_direction(flat.envmap, -wi_world, env_mask),
+                       le)
+    return le
+
+
+def sample_emitter_position(flat: FlatScene, face_offsets, emitter_meta,
+                            ref_p: jax.Array, sample2: jax.Array,
+                            active: jax.Array) -> PositionSample:
+    """Pick an emitter ∝ weight, then sample its surface (scene.cpp:426-447).
+
+    ``emitter_meta``: static list of ('area', mesh_index) / ('env', -1).
+    """
+    n = ref_p.shape[0]
+    if len(emitter_meta) == 1:
+        idx = jnp.zeros((n,), jnp.int32)
+        sel_pdf = jnp.ones((n,), jnp.float32)
+        s2 = sample2
+    else:
+        idx, sel_pdf, sy = discrete_sample_reuse(flat.emitter_distrb,
+                                                 sample2[..., 1])
+        s2 = jnp.stack([sample2[..., 0], sy], axis=-1)
+
+    out = PositionSample(valid=jnp.zeros((n,), bool),
+                         pdf=jnp.zeros((n,), jnp.float32),
+                         p=jnp.zeros((n, 3), jnp.float32),
+                         n=jnp.zeros((n, 3), jnp.float32),
+                         J=jnp.ones((n,), jnp.float32))
+    for i, (kind, mesh_index) in enumerate(emitter_meta):
+        mask = active & (idx == i)
+        if kind == "area":
+            lo, hi = face_offsets[mesh_index], face_offsets[mesh_index + 1]
+            tri_slice = jax.tree.map(lambda a: a[lo:hi], flat.tri)
+            ps = sample_position(tri_slice, flat.emitter_face_distrb[i],
+                                 flat.emitter_inv_area[i], s2)
+        else:
+            ps = envmap_sample_position(flat.envmap, ref_p, s2, mask)
+        out = PositionSample(
+            valid=jnp.where(mask, ps.valid, out.valid),
+            pdf=jnp.where(mask, ps.pdf, out.pdf),
+            p=jnp.where(mask[..., None], ps.p, out.p),
+            n=jnp.where(mask[..., None], ps.n, out.n),
+            J=jnp.where(mask, ps.J, out.J))
+    return out._replace(pdf=out.pdf * sel_pdf,
+                        valid=out.valid & active)
+
+
+def emitter_position_pdf(flat: FlatScene, emitter_meta, ref_p: jax.Array,
+                         its: Intersection, active: jax.Array) -> jax.Array:
+    """Area-measure pdf of hitting this emitter point via light sampling
+    (scene.cpp:450-453 + area.cpp:60-64 / envmap.cpp:120-139).
+    Uses the *normalized* sampling weights (scene.cpp:192-195)."""
+    active = active & its.is_emitter()
+    eid = jnp.maximum(its.emitter_id, 0)
+    pdf = flat.emitter_weight[eid] * flat.emitter_inv_area[eid]
+    pdf = jnp.where(active, pdf, 0.0)
+    if flat.envmap is not None:
+        env_mask = active & (its.bsdf_id < 0)
+        env_pdf = envmap_position_pdf(flat.envmap, ref_p, its.p, its.n, env_mask)
+        env_w = flat.emitter_weight[eid]
+        pdf = jnp.where(env_mask, env_w * env_pdf, pdf)
+    return pdf
+
+
+def sample_boundary_segment_direct(flat: FlatScene, face_offsets, emitter_meta,
+                                   sample3: jax.Array,
+                                   active: jax.Array) -> BoundarySegSample:
+    """Sample (edge point p0, emitter point p2) for the direct boundary
+    integral (scene.cpp:456-492)."""
+    edge_idx, pdf0, s1 = discrete_sample_reuse(flat.sec_distrb, sample3[..., 0])
+    info: SecondaryEdgeInfo = jax.tree.map(lambda a: a[edge_idx], flat.sec_edge)
+    ok = info.valid & (flat.sec_distrb.pmf[edge_idx] > 0.0)
+
+    p0 = info.p0 + info.e1 * s1[..., None]           # differentiable
+    edge = normalize(sg(info.e1))
+    edge2 = sg(info.p2) - sg(info.p0)
+    p0_det = sg(p0)
+    pdf0 = pdf0 / jnp.maximum(norm(sg(info.e1)), 1e-20)
+
+    ps2 = sample_emitter_position(flat, face_offsets, emitter_meta,
+                                  p0_det, sample3[..., 1:3], active)
+    ps2 = jax.tree.map(sg, ps2)
+
+    e = ps2.p - p0_det
+    dist_sqr = squared_norm(e)
+    e = e / safe_sqrt(dist_sqr)[..., None]
+    cos_theta = dot(ps2.n, -e)
+
+    sgn0 = sign_eps(dot(sg(info.n0), e), EdgeEpsilon)
+    sgn1 = sign_eps(dot(sg(info.n1), e), EdgeEpsilon)
+    boundary = sg(info.is_boundary)
+    valid = (active & ok & ps2.valid & (cos_theta > Epsilon)
+             & jnp.where(boundary, sgn0 != 0, sgn0 * sgn1 < 0))
+    pdf = jnp.where(valid, pdf0 * ps2.pdf * dist_sqr / cos_theta, 0.0)
+    return BoundarySegSample(valid=valid, p0=p0, edge=edge, edge2=edge2,
+                             p2=ps2.p, n=ps2.n, pdf=pdf)

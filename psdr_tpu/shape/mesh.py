@@ -1,0 +1,293 @@
+"""Triangle meshes: host-side topology (OBJ load, edge adjacency) and the
+differentiable world-space geometry pipeline.
+
+Parity reference: psdr-cuda src/shape/mesh.cpp —
+* ``load_obj``/``build_edges`` mirror Mesh::load (mesh.cpp:62-212) incl. the
+  2-manifold edge-adjacency map with boundary edges flagged ``face1 = -1``;
+* ``compute_triangle_info`` mirrors ``process_mesh`` (mesh.cpp:19-51):
+  area-weighted vertex normals + world-space per-face SoA;
+* ``compute_sec_edge_info`` mirrors Mesh::configure's SecondaryEdgeInfo build
+  (mesh.cpp:251-263) with the dihedral filter as a *mask* instead of stream
+  compaction (static shapes for XLA).
+
+Host topology is numpy; everything entering gradients is JAX.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import EdgeEpsilon
+from ..core import transform as xform
+from ..core.math import bilinear, cross, norm, normalize
+from ..core.records import PositionSample
+from ..core.distribution import Discrete, discrete_init, discrete_sample_reuse
+from ..core import warp
+
+
+class TriangleInfo(NamedTuple):
+    """World-space per-face SoA (types.h:135-158 TriangleInfo_)."""
+    p0: jax.Array           # (F, 3)
+    e1: jax.Array           # (F, 3)
+    e2: jax.Array           # (F, 3)
+    n0: jax.Array           # (F, 3) vertex normals
+    n1: jax.Array
+    n2: jax.Array
+    face_normal: jax.Array  # (F, 3) unit
+    face_area: jax.Array    # (F,)
+
+
+class SecondaryEdgeInfo(NamedTuple):
+    """Per-edge silhouette-candidate data (edge/edge.h:49-67).
+
+    ``valid`` replaces the reference's compaction: invalid rows get zero
+    sampling weight.
+    """
+    valid: jax.Array        # (E,) bool  (dihedral filter & enable_edges)
+    is_boundary: jax.Array  # (E,) bool  (open edge: single adjacent face)
+    p0: jax.Array           # (E, 3) first endpoint
+    e1: jax.Array           # (E, 3) p1 - p0
+    n0: jax.Array           # (E, 3) adjacent face 0 normal
+    n1: jax.Array           # (E, 3) adjacent face 1 normal (n0 where boundary)
+    p2: jax.Array           # (E, 3) opposite vertex of face 0
+
+
+def compute_triangle_info(vertex_positions: jax.Array, faces: jax.Array,
+                          num_vertices: int):
+    """Differentiable per-face SoA + area-weighted vertex normals.
+
+    Parity: mesh.cpp:19-51 process_mesh.
+    """
+    p0 = vertex_positions[faces[:, 0]]
+    p1 = vertex_positions[faces[:, 1]]
+    p2 = vertex_positions[faces[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+
+    fn = cross(e1, e2)
+    fa = norm(fn)
+
+    vn = jnp.zeros((num_vertices, 3), vertex_positions.dtype)
+    vw = jnp.zeros((num_vertices,), vertex_positions.dtype)
+    for i in range(3):
+        vn = vn.at[faces[:, i]].add(fn)
+        vw = vw.at[faces[:, i]].add(fa)
+    vn = normalize(vn / jnp.maximum(vw, 1e-20)[:, None])
+
+    info = TriangleInfo(
+        p0=p0, e1=e1, e2=e2,
+        n0=vn[faces[:, 0]], n1=vn[faces[:, 1]], n2=vn[faces[:, 2]],
+        face_normal=fn / jnp.maximum(fa, 1e-20)[:, None],
+        face_area=fa * 0.5,
+    )
+    return info, vn
+
+
+def compute_sec_edge_info(vertex_positions: jax.Array,
+                          tri_info: TriangleInfo,
+                          edge_indices: np.ndarray) -> SecondaryEdgeInfo:
+    """World-space silhouette-candidate edges (mesh.cpp:251-263)."""
+    ei = jnp.asarray(edge_indices, jnp.int32)
+    is_boundary = ei[:, 3] < 0
+    f1 = jnp.maximum(ei[:, 3], 0)
+    p0 = vertex_positions[ei[:, 0]]
+    e1 = vertex_positions[ei[:, 1]] - p0
+    n0 = tri_info.face_normal[ei[:, 2]]
+    n1 = jnp.where(is_boundary[:, None], n0, tri_info.face_normal[f1])
+    p2 = vertex_positions[ei[:, 4]]
+    # dihedral filter: drop edges whose adjacent faces are (nearly) coplanar
+    keep = jnp.sum(n0 * n1, axis=-1) < 1.0 - EdgeEpsilon
+    keep = jnp.logical_or(keep, is_boundary)
+    return SecondaryEdgeInfo(valid=keep, is_boundary=is_boundary,
+                             p0=p0, e1=e1, n0=n0, n1=n1, p2=p2)
+
+
+class Mesh:
+    """Host-side mesh: static topology + differentiable parameter leaves.
+
+    Differentiable parameters (returned by :meth:`params`):
+      * ``vertex_positions`` — raw (object-space) positions, (V, 3)
+      * ``to_world`` — 4x4 object-to-world matrix
+    """
+
+    def __init__(self, vertices: np.ndarray, faces: np.ndarray,
+                 uv: Optional[np.ndarray] = None,
+                 uv_idx: Optional[np.ndarray] = None,
+                 use_face_normals: bool = False,
+                 enable_edges: bool = True,
+                 bsdf_id: int = -1, emitter_id: int = -1,
+                 mesh_id: str = ""):
+        self.vertices = np.ascontiguousarray(vertices, np.float32)
+        self.faces = np.ascontiguousarray(faces, np.int32)
+        self.uv = None if uv is None else np.ascontiguousarray(uv, np.float32)
+        self.uv_idx = (None if uv_idx is None
+                       else np.ascontiguousarray(uv_idx, np.int32))
+        self.use_face_normals = bool(use_face_normals)
+        self.enable_edges = bool(enable_edges)
+        self.bsdf_id = int(bsdf_id)
+        self.emitter_id = int(emitter_id)
+        self.id = mesh_id
+
+        self.num_vertices = int(self.vertices.shape[0])
+        self.num_faces = int(self.faces.shape[0])
+        self.edge_indices = (build_edges(self.faces) if enable_edges
+                             else np.zeros((0, 5), np.int32))
+
+        # differentiable leaves (initial values)
+        self.vertex_positions = jnp.asarray(self.vertices)
+        self.to_world = jnp.eye(4, dtype=jnp.float32)
+        # static outer factors, for append_transform-style composition
+        # (mesh.h:19-35: to_world = left * raw * right)
+        self.to_world_left = jnp.eye(4, dtype=jnp.float32)
+        self.to_world_right = jnp.eye(4, dtype=jnp.float32)
+
+    # -- parameter-pytree plumbing ------------------------------------------
+    def params(self) -> dict:
+        return {"vertex_positions": self.vertex_positions,
+                "to_world": self.to_world}
+
+    def set_params(self, p: dict) -> None:
+        self.vertex_positions = p["vertex_positions"]
+        self.to_world = p["to_world"]
+
+    def set_transform(self, mat) -> None:
+        self.to_world = jnp.asarray(mat, jnp.float32)
+
+    def append_transform(self, mat) -> None:
+        self.to_world_left = jnp.asarray(mat, jnp.float32) @ self.to_world_left
+
+    def world_positions(self, params: dict) -> jax.Array:
+        m = self.to_world_left @ params["to_world"] @ self.to_world_right
+        return xform.transform_pos(m, params["vertex_positions"])
+
+    # -- IO ------------------------------------------------------------------
+    def dump(self, fname: str) -> None:
+        """Write current raw geometry back to OBJ (mesh.cpp:354-418)."""
+        vp = np.asarray(self.vertex_positions)
+        with open(fname, "w") as f:
+            for i in range(self.num_vertices):
+                f.write("v %.6e %.6e %.6e\n" % (vp[i, 0], vp[i, 1], vp[i, 2]))
+            if self.uv is not None:
+                for i in range(self.uv.shape[0]):
+                    f.write("vt %.6e %.6e\n" % (self.uv[i, 0], self.uv[i, 1]))
+            for i in range(self.num_faces):
+                a, b, c = (int(v) + 1 for v in self.faces[i])
+                if self.uv_idx is not None:
+                    ta, tb, tc = (int(v) + 1 for v in self.uv_idx[i])
+                    f.write(f"f {a}/{ta} {b}/{tb} {c}/{tc}\n")
+                else:
+                    f.write(f"f {a} {b} {c}\n")
+
+    def __repr__(self):
+        return (f"Mesh[nv={self.num_vertices}, nf={self.num_faces}"
+                + (f", id={self.id}" if self.id else "") + "]")
+
+
+def build_edges(faces: np.ndarray) -> np.ndarray:
+    """Edge-adjacency table (E, 5): [v0, v1, face0, face1|-1, opp_vertex0].
+
+    Enforces 2-manifoldness like mesh.cpp:143-203. Vectorized numpy grouping
+    instead of a std::map.
+    """
+    f = faces.astype(np.int64)
+    n_faces = f.shape[0]
+    # all directed half-edges with their face + opposite vertex
+    a = np.concatenate([f[:, 0], f[:, 1], f[:, 2]])
+    b = np.concatenate([f[:, 1], f[:, 2], f[:, 0]])
+    opp = np.concatenate([f[:, 2], f[:, 0], f[:, 1]])
+    face = np.tile(np.arange(n_faces), 3)
+
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    nv = int(f.max()) + 1 if n_faces else 0
+    key = lo * nv + hi
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    face_s = face[order]
+    opp_s = opp[order]
+    lo_s, hi_s = lo[order], hi[order]
+
+    uniq, start, counts = np.unique(key_s, return_index=True, return_counts=True)
+    if np.any(counts > 2):
+        raise ValueError("Non-manifold mesh: edge shared by more than 2 faces")
+
+    e = uniq.shape[0]
+    out = np.empty((e, 5), np.int32)
+    out[:, 0] = lo_s[start]
+    out[:, 1] = hi_s[start]
+    out[:, 2] = face_s[start]
+    out[:, 4] = opp_s[start]
+    second = np.where(counts == 2, face_s[np.minimum(start + 1, key_s.shape[0] - 1)], -1)
+    out[:, 3] = second.astype(np.int32)
+    dup = (counts == 2) & (out[:, 2] == out[:, 3])
+    if np.any(dup):
+        raise ValueError("Duplicated faces sharing an edge")
+    return out
+
+
+def load_obj(fname: str, **kwargs) -> Mesh:
+    """Minimal OBJ parser (v / vt / f with v, v/t, v//n, v/t/n forms).
+
+    Replaces the reference's vendored tinyobjloader (mesh.cpp:62-141).
+    """
+    verts: list = []
+    uvs: list = []
+    f_v: list = []
+    f_t: list = []
+    has_uv_face = False
+    with open(fname) as fh:
+        for line in fh:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append((float(parts[1]), float(parts[2])))
+            elif line.startswith("f "):
+                parts = line.split()[1:]
+                idx = []
+                tdx = []
+                for p in parts:
+                    comp = p.split("/")
+                    idx.append(int(comp[0]) - 1)
+                    if len(comp) > 1 and comp[1]:
+                        tdx.append(int(comp[1]) - 1)
+                        has_uv_face = True
+                    else:
+                        tdx.append(0)
+                # triangulate fans
+                for k in range(1, len(idx) - 1):
+                    f_v.append((idx[0], idx[k], idx[k + 1]))
+                    f_t.append((tdx[0], tdx[k], tdx[k + 1]))
+
+    vertices = np.asarray(verts, np.float32)
+    faces = np.asarray(f_v, np.int32)
+    uv = np.asarray(uvs, np.float32) if (uvs and has_uv_face) else None
+    uv_idx = np.asarray(f_t, np.int32) if uv is not None else None
+    return Mesh(vertices, faces, uv=uv, uv_idx=uv_idx, **kwargs)
+
+
+def sample_position(tri_info: TriangleInfo, face_distrb: Discrete,
+                    inv_total_area: jax.Array, sample2: jax.Array) -> PositionSample:
+    """Uniform area sampling of a mesh with reparam Jacobian J
+    (mesh.cpp:305-330).
+    """
+    idx, _, sx = discrete_sample_reuse(face_distrb, sample2[..., 0])
+    st = warp.square_to_uniform_triangle(
+        jnp.stack([sx, sample2[..., 1]], axis=-1))
+    p0 = tri_info.p0[idx]
+    e1 = tri_info.e1[idx]
+    e2 = tri_info.e2[idx]
+    fa = tri_info.face_area[idx]
+    p = bilinear(p0, e1, e2, st)
+    J = fa / jax.lax.stop_gradient(fa)
+    return PositionSample(
+        valid=jnp.ones(idx.shape, bool),
+        pdf=jnp.broadcast_to(inv_total_area, idx.shape),
+        p=p,
+        n=tri_info.face_normal[idx],
+        J=J,
+    )

@@ -1,0 +1,14 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh (SURVEY.md §4: multi-chip tests
+# under emulated devices). The container's sitecustomize registers the axon
+# TPU backend and forces jax_platforms="axon,cpu", so we must both set the
+# env var *and* override the config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
