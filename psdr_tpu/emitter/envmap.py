@@ -35,7 +35,7 @@ class EnvironmentMap:
             radiance = from_array(radiance)
         self.radiance = radiance
         self.scale = jnp.asarray(scale, jnp.float32)
-        self.to_world = (jnp.eye(4, jnp.float32) if to_world is None
+        self.to_world = (jnp.eye(4, dtype=jnp.float32) if to_world is None
                          else jnp.asarray(to_world, jnp.float32))
 
     def params(self) -> dict:

@@ -35,7 +35,7 @@ class PerspectiveCamera:
         self.fov_x = float(fov_x)
         self.near_clip = float(near)
         self.far_clip = float(far)
-        self.to_world = (jnp.eye(4, jnp.float32) if to_world is None
+        self.to_world = (jnp.eye(4, dtype=jnp.float32) if to_world is None
                          else jnp.asarray(to_world, jnp.float32))
 
     def params(self) -> dict:

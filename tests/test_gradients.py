@@ -1,0 +1,148 @@
+"""AD-vs-finite-difference gradient tests — the reference's own correctness
+standard (SURVEY.md §4.1, examples/run_test.py:44-231): forward-mode AD
+derivative images must match central finite differences.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psdr_tpu import DirectIntegrator
+
+from scenes import sphere_light_scene, cbox_scene
+
+
+def ad_vs_fd(scene, perturb, integ, eps, seed=0, with_boundary=False,
+             spp_boost=1):
+    """Returns (ad_image, fd_image) for scalar parameter P at 0.
+
+    ``perturb(params, P)`` must return a new params pytree. The same RNG key
+    is used for all renders (correlated samples make FD usable at low spp).
+    """
+    render = integ.render_fn(scene, 0, with_boundary=with_boundary)
+    key = jax.random.PRNGKey(seed)
+
+    def f(P):
+        # fresh structure each call so perturb may mutate containers freely
+        base = jax.tree.map(lambda x: x, scene.params())
+        return render(perturb(base, P), key)
+
+    img_ad = jax.jvp(f, (0.0,), (1.0,))[1]
+    img_p = f(eps)
+    img_n = f(-eps)
+    img_fd = (img_p - img_n) / (2 * eps)
+    return np.asarray(img_ad), np.asarray(img_fd)
+
+
+def check_close(ad, fd, rtol=0.05, atol=None):
+    scale = np.abs(fd).max()
+    if atol is None:
+        atol = max(scale * rtol, 1e-6)
+    err = np.abs(ad - fd).max()
+    assert err <= atol, f"AD vs FD mismatch: max err {err}, scale {scale}"
+
+
+def test_albedo_gradient():
+    """BASELINE.json config 1: albedo gradient only, interior term."""
+    sc = sphere_light_scene(width=24, height=24, spp=8)
+    integ = DirectIntegrator(1, 1)
+
+    def perturb(params, P):
+        params = jax.tree.map(lambda x: x, params)  # copy
+        refl = params["bsdfs"][0]["reflectance"]
+        params["bsdfs"][0] = {"reflectance": refl + P}
+        return params
+
+    ad, fd = ad_vs_fd(sc, perturb, integ, eps=1e-2)
+    # reflectance enters eval linearly -> FD is nearly exact
+    check_close(ad, fd, rtol=0.02)
+    assert np.abs(ad).max() > 1e-3  # gradient is not trivially zero
+
+
+def test_light_radiance_gradient():
+    sc = sphere_light_scene(width=24, height=24, spp=8)
+    integ = DirectIntegrator(1, 1)
+
+    def perturb(params, P):
+        rad = params["emitters"][0]["radiance"]
+        params["emitters"][0] = {"radiance": rad * (1.0 + P)}
+        return params
+
+    ad, fd = ad_vs_fd(sc, perturb, integ, eps=1e-2)
+    check_close(ad, fd, rtol=0.03)
+    assert np.abs(ad).max() > 1e-3
+
+
+def _floor_light_scene(width=16, height=16, spp=16):
+    """Floor + overhead light, nothing occluding and the light outside the
+    camera frustum: the image is a *smooth* function of a light translation,
+    so interior-only AD must match FD (no boundary term exists)."""
+    import numpy as np
+    from psdr_tpu import AreaLight, Diffuse, PerspectiveCamera, RenderOptions, Scene
+    from psdr_tpu.core import transform as xf
+    from psdr_tpu.shape import primitives
+
+    sc = Scene()
+    grey = sc.add_bsdf(Diffuse([0.6, 0.6, 0.6]), "grey")
+    floor = primitives.make_quad(size=4.0, bsdf_id=grey, enable_edges=False,
+                                 use_face_normals=True)
+    floor.set_transform(np.asarray(xf.rotate([1, 0, 0], -90.0)))
+    sc.add_mesh(floor)
+
+    light = primitives.make_quad(size=1.0, bsdf_id=-1, enable_edges=False,
+                                 use_face_normals=True)
+    light.set_transform(np.asarray(
+        xf.translate([0.0, 3.0, 0.0]) @ xf.rotate([1, 0, 0], 90.0)))
+    li = sc.add_mesh(light)
+    sc.add_emitter(AreaLight([8.0, 8.0, 8.0], mesh_index=li))
+
+    cam = PerspectiveCamera(fov_x=35.0, near=0.1, far=100.0)
+    cam.set_transform(np.asarray(xf.look_at([0, 2.0, 0.0], [0, 0, 0], [0, 0, 1])))
+    sc.add_sensor(cam)
+    sc.opts = RenderOptions(width=width, height=height, spp=spp)
+    return sc
+
+
+def test_light_translation_gradient_interior_smooth():
+    """Geometric AD through configure + emitter sampling: light translation
+    in a discontinuity-free setup; interior AD == FD."""
+    sc = _floor_light_scene(width=16, height=16, spp=16)
+    integ = DirectIntegrator(0, 1)  # light sampling only
+
+    shift = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+
+    def perturb(params, P):
+        mp = params["meshes"][1]  # the light quad
+        params["meshes"][1] = {
+            "vertex_positions": mp["vertex_positions"] + P * shift,
+            "to_world": mp["to_world"],
+        }
+        return params
+
+    ad, fd = ad_vs_fd(sc, perturb, integ, eps=1e-2)
+    denom = np.abs(fd).max() + 1e-6
+    rel = np.abs(ad - fd).max() / denom
+    assert rel < 0.05, f"relative error {rel}"
+    assert np.abs(ad).max() > 1e-4
+
+
+def test_light_vertical_translation_gradient():
+    """Same setup, translation toward the floor (changes distance + G)."""
+    sc = _floor_light_scene(width=12, height=12, spp=16)
+    integ = DirectIntegrator(0, 1)
+
+    shift = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+    def perturb(params, P):
+        mp = params["meshes"][1]
+        params["meshes"][1] = {
+            "vertex_positions": mp["vertex_positions"] + P * shift,
+            "to_world": mp["to_world"],
+        }
+        return params
+
+    ad, fd = ad_vs_fd(sc, perturb, integ, eps=1e-2)
+    denom = np.abs(fd).max() + 1e-6
+    rel = np.abs(ad - fd).max() / denom
+    assert rel < 0.05, f"relative error {rel}"
+    assert np.abs(ad).max() > 1e-4

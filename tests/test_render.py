@@ -1,0 +1,64 @@
+"""End-to-end forward-render tests: field extraction + direct lighting,
+estimator cross-validation (SURVEY.md §4.3: bsdf-only vs light-only vs MIS
+must agree), and basic energy sanity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psdr_tpu import DirectIntegrator, FieldExtractionIntegrator
+
+from scenes import sphere_light_scene, cbox_scene
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    return sphere_light_scene(width=32, height=32, spp=4)
+
+
+def test_field_silhouette(sphere_scene):
+    integ = FieldExtractionIntegrator("silhouette")
+    img = np.asarray(integ.renderC(sphere_scene, 0, seed=0))
+    assert img.shape == (32, 32, 3)
+    # sphere fills the center of the frame; corners above horizon are empty
+    assert img[16, 16, 0] > 0.9
+    assert img.mean() > 0.05
+    assert np.isfinite(img).all()
+
+
+def test_field_depth_and_normal(sphere_scene):
+    depth = np.asarray(FieldExtractionIntegrator("depth").renderC(sphere_scene, 0))
+    assert depth[16, 16, 0] == pytest.approx(5.0, abs=1.0)  # cam ~6 from origin
+    n = np.asarray(FieldExtractionIntegrator("geoNormal").renderC(sphere_scene, 0))
+    # center of sphere faces the camera (positive z toward camera)
+    assert n[16, 16, 2] > 0.5
+
+
+def test_direct_render_basic(sphere_scene):
+    integ = DirectIntegrator(bsdf_samples=1, light_samples=1)
+    img = np.asarray(integ.renderC(sphere_scene, 0, seed=0))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01  # something is lit
+    assert img.min() >= 0.0
+
+
+def test_estimator_cross_validation():
+    """BSDF-only, light-only and MIS must converge to the same image
+    (the reference's own consistency check, examples/config.py:46-78)."""
+    sc = cbox_scene(width=24, height=24, spp=48)
+    img_mis = np.asarray(DirectIntegrator(2, 2).renderC(sc, 0, seed=1))
+    img_bs = np.asarray(DirectIntegrator(5, 0).renderC(sc, 0, seed=2))
+    img_ls = np.asarray(DirectIntegrator(0, 5).renderC(sc, 0, seed=3))
+
+    def rel(a, b):
+        return np.abs(a - b).mean() / max(b.mean(), 1e-6)
+
+    assert rel(img_ls, img_mis) < 0.15
+    assert rel(img_bs, img_mis) < 0.35  # bsdf-only is noisier
+
+
+def test_render_reproducible(sphere_scene):
+    integ = DirectIntegrator(1, 1)
+    a = np.asarray(integ.renderC(sphere_scene, 0, seed=7))
+    b = np.asarray(integ.renderC(sphere_scene, 0, seed=7))
+    assert np.array_equal(a, b)
