@@ -1,0 +1,104 @@
+"""Boundary-estimator tests: visibility-discontinuity gradients from the
+primary-edge (silhouette) and secondary-edge (shadow) integrals must close
+the gap between interior-only AD and finite differences.
+
+This is the heart of PSDR (SURVEY.md §7 hard part #1).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psdr_tpu import DirectIntegrator
+
+from scenes import sphere_light_scene
+from test_gradients import ad_vs_fd
+
+
+def _perturb_mesh_translation(mesh_index, shift):
+    shift = jnp.asarray(shift, jnp.float32)
+
+    def perturb(params, P):
+        mp = params["meshes"][mesh_index]
+        params["meshes"][mesh_index] = {
+            "vertex_positions": mp["vertex_positions"] + P * shift,
+            "to_world": mp["to_world"],
+        }
+        return params
+    return perturb
+
+
+def test_primary_edges_zero_primal():
+    """Boundary terms must vanish in the primal image (pure-gradient trick,
+    integrator.cpp:116 value -= detach(value))."""
+    sc = sphere_light_scene(width=16, height=16, spp=2, sppe=2, sppse=0)
+    integ = DirectIntegrator(1, 1)
+    flat = sc.configure()
+    key = jax.random.PRNGKey(0)
+    img_edges = integ.render_primary_edges(sc, flat, 0, key)
+    assert np.allclose(np.asarray(img_edges), 0.0)
+
+
+def test_primary_edge_gradient_against_fd():
+    """Sphere translated along x in front of the camera: the image gradient
+    at the silhouette is pure boundary term. With sppe>0 the AD image must
+    approach FD; interior-only AD misses the silhouette entirely."""
+    w = h = 24
+    sc = sphere_light_scene(width=w, height=h, spp=8, sppe=64, sppse=0)
+    integ = DirectIntegrator(1, 1)
+    perturb = _perturb_mesh_translation(0, [1.0, 0.0, 0.0])
+
+    # FD reference: average several seeds at decent eps
+    fds = []
+    ads = []
+    ads_nob = []
+    for seed in range(4):
+        ad, fd = ad_vs_fd(sc, perturb, integ, eps=0.02, seed=seed,
+                          with_boundary=True)
+        ad_nob, _ = ad_vs_fd(sc, perturb, integ, eps=0.02, seed=seed,
+                             with_boundary=False)
+        fds.append(fd)
+        ads.append(ad)
+        ads_nob.append(ad_nob)
+    fd = np.mean(fds, axis=0).reshape(h, w, 3)
+    ad = np.mean(ads, axis=0).reshape(h, w, 3)
+    ad_nob = np.mean(ads_nob, axis=0).reshape(h, w, 3)
+
+    # the boundary term must contribute substantially (silhouette pixels)
+    boundary_part = np.abs(ad - ad_nob).sum()
+    assert boundary_part > 0.1 * np.abs(fd).sum(), \
+        "primary-edge estimator contributed nothing"
+
+    # and with it, AD must be much closer to FD than without it
+    err_with = np.abs(ad - fd).sum()
+    err_without = np.abs(ad_nob - fd).sum()
+    assert err_with < 0.7 * err_without, (
+        f"with boundary {err_with}, without {err_without}")
+
+
+def test_secondary_edge_gradient_shadow():
+    """Occluder translation changes the cast shadow: the shadow-boundary
+    gradient is produced only by the secondary-edge estimator."""
+    w = h = 24
+    sc = sphere_light_scene(width=w, height=h, spp=8, sppe=0, sppse=64)
+    integ = DirectIntegrator(0, 1)
+    perturb = _perturb_mesh_translation(0, [1.0, 0.0, 0.0])
+
+    ads, ads_nob, fds = [], [], []
+    for seed in range(4):
+        ad, fd = ad_vs_fd(sc, perturb, integ, eps=0.02, seed=seed,
+                          with_boundary=True)
+        ad_nob, _ = ad_vs_fd(sc, perturb, integ, eps=0.02, seed=seed,
+                             with_boundary=False)
+        ads.append(ad); ads_nob.append(ad_nob); fds.append(fd)
+    fd = np.mean(fds, axis=0)
+    ad = np.mean(ads, axis=0)
+    ad_nob = np.mean(ads_nob, axis=0)
+
+    boundary_part = np.abs(ad - ad_nob).sum()
+    assert boundary_part > 0.0, "secondary-edge estimator contributed nothing"
+
+    err_with = np.abs(ad - fd).sum()
+    err_without = np.abs(ad_nob - fd).sum()
+    assert err_with < err_without, (
+        f"with boundary {err_with}, without {err_without}")
