@@ -7,10 +7,15 @@ reference's OptiX launch (src/scene/scene_optix.cpp:80-126 +
 cuda/psdr_cuda.cu): same contract — detached closest-hit query returning
 (tri_id, barycentrics); gradients flow through the *recompute* in
 scene.ray_intersect, never through traversal.
+
+TPU layout note: all Moller-Trumbore intermediates are kept as 2D
+(ray_tile, tri_tile) f32 arrays by doing the vector algebra in explicit
+x/y/z components — rays broadcast down columns, triangles across rows. A
+(R, T, 3) layout would blow past VMEM and block XLA elementwise fusion; the
+component form keeps every temporary a (R, T) VPU tile.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -41,12 +46,38 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def moller_trumbore_tile(ox, oy, oz, dx, dy, dz, tri9):
+    """M-T over a (R,) ray block x (T,) tri block, all-components form.
+
+    ``o*, d*``: (R, 1) ray components. ``tri9``: tuple of 9 (1, T) triangle
+    components (p0, e1, e2). Returns (u, v, t) each (R, T).
+    """
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = tri9
+    # h = d x e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    sx = ox - p0x
+    sy = oy - p0y
+    sz = oz - p0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    return u, v, t
+
+
 def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
                         ray_o: jax.Array, ray_d: jax.Array,
                         active: jax.Array | None = None,
                         tmax: jax.Array | None = None,
-                        ray_block: int = 4096,
-                        tri_block: int = 256) -> HitRecord:
+                        ray_block: int = 1024,
+                        tri_block: int = 512) -> HitRecord:
     """Closest-hit over all triangles. All inputs are treated as detached.
 
     p0/e1/e2: (F, 3) triangle SoA. ray_o/ray_d: (N, 3).
@@ -68,9 +99,11 @@ def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
     tb = min(tri_block, max(8, n_tris))
     f_pad = _ceil_to(n_tris, tb)
     n_chunks = f_pad // tb
-    tp0 = _pad_to(p0, f_pad).reshape(n_chunks, tb, 3)
-    te1 = _pad_to(e1, f_pad).reshape(n_chunks, tb, 3)
-    te2 = _pad_to(e2, f_pad).reshape(n_chunks, tb, 3)
+    # 9 per-component triangle arrays, chunked: (n_chunks, tb)
+    tri_comp = [
+        _pad_to(arr[:, c], f_pad).reshape(n_chunks, tb)
+        for arr in (p0, e1, e2) for c in range(3)
+    ]
     tvalid = _pad_to(jnp.ones((n_tris,), bool), f_pad).reshape(n_chunks, tb)
 
     rb = min(ray_block, max(8, n_rays))
@@ -83,19 +116,14 @@ def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
 
     def ray_block_fn(args):
         ro_b, rd_b, act_b, tmax_b = args
+        ox, oy, oz = (ro_b[:, c:c + 1] for c in range(3))
+        dx, dy, dz = (rd_b[:, c:c + 1] for c in range(3))
 
         def body(carry, chunk):
             t_best, id_best, uv_best = carry
-            cp0, ce1, ce2, cvalid, base = chunk
-            # Moeller-Trumbore over the (rb, tb) tile
-            h = jnp.cross(rd_b[:, None, :], ce2[None, :, :])
-            a = jnp.sum(ce1[None] * h, axis=-1)
-            f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
-            s = ro_b[:, None, :] - cp0[None]
-            u = f * jnp.sum(s * h, axis=-1)
-            q = jnp.cross(s, ce1[None, :, :])
-            v = f * jnp.sum(rd_b[:, None, :] * q, axis=-1)
-            t = f * jnp.sum(ce2[None] * q, axis=-1)
+            *tri9, cvalid, base = chunk
+            tri9 = tuple(c[None, :] for c in tri9)
+            u, v, t = moller_trumbore_tile(ox, oy, oz, dx, dy, dz, tri9)
 
             hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                    & (t > RayEpsilon) & (t < tmax_b[:, None])
@@ -116,7 +144,7 @@ def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
                 jnp.zeros((rb, 2), jnp.float32))
         bases = (jnp.arange(n_chunks, dtype=jnp.int32) * tb)
         (t_best, id_best, uv_best), _ = jax.lax.scan(
-            body, init, (tp0, te1, te2, tvalid, bases))
+            body, init, (*tri_comp, tvalid, bases))
         return t_best, id_best, uv_best
 
     if n_rblocks == 1:

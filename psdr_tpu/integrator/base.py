@@ -108,6 +108,8 @@ class Integrator:
         """A jittable, differentiable ``f(params, key) -> (num_pixels, 3)``
         that rebuilds the scene from params (AD flows through configure,
         matching the reference's re-configure-per-iteration loop)."""
+        scene.prepare_accel()
+
         def f(params, key):
             flat = scene.build(params)
             return self.radiance_image(scene, flat, sensor_id, key, with_boundary)

@@ -1,0 +1,134 @@
+"""Multi-chip scaling: data-parallel Monte-Carlo rendering over a TPU mesh.
+
+The reference (psdr-cuda) is strictly single-GPU — its only parallelism is
+the wavefront array (SURVEY.md §2.3). This module is new capability: shard
+the Monte-Carlo sample budget over a `jax.sharding.Mesh` with `shard_map`,
+replicate the (small) flattened scene, and `pmean` the per-device partial
+images. Gradients of replicated parameters are reduced automatically by the
+`shard_map` transpose (broadcast-in → psum-of-cotangents-out), so a jitted
+`value_and_grad` training step needs no manual collectives; the all-reduce
+rides ICI.
+
+Design notes (tpu-first):
+* Monte-Carlo estimators are linear in sample count, so DP over samples is
+  exact: each device renders the full image with 1/D of the per-pixel sample
+  budget under an independent fold of the RNG key, and the mean over the
+  mesh axis is the same estimator as the single-chip render with the full
+  budget.
+* Per-device sample counts (spp/sppe/sppse divided by D) are static, keeping
+  every shape inside the jitted region static as XLA requires.
+* The flat scene pytree enters replicated (`P()`), so no gather/scatter of
+  geometry crosses chips; the only collectives are the image `pmean` and the
+  parameter-gradient `psum` inserted by AD.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def device_mesh(n_devices: Optional[int] = None,
+                axis_name: str = "dp",
+                devices: Optional[Sequence] = None) -> Mesh:
+    """A 1D device mesh over the sample (data-parallel) axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _scaled_opts_scene(scene, n_dev: int):
+    """A shallow scene copy whose per-device sample budgets are 1/n_dev."""
+    opts = scene.opts
+    for name, v in (("spp", opts.spp), ("sppe", opts.sppe),
+                    ("sppse", opts.sppse)):
+        if v % n_dev != 0:
+            raise ValueError(
+                f"{name}={v} must be divisible by mesh size {n_dev}")
+    local = copy.copy(scene)
+    local.opts = type(opts)(width=opts.width, height=opts.height,
+                            spp=opts.spp // n_dev,
+                            sppe=opts.sppe // n_dev,
+                            sppse=opts.sppse // n_dev,
+                            log_level=opts.log_level)
+    return local
+
+
+def shard_render_fn(integrator, scene, mesh: Mesh, sensor_id: int = 0,
+                    with_boundary: bool = True):
+    """A jittable, differentiable ``f(params, key) -> (num_pixels, 3)`` that
+    renders data-parallel over ``mesh``'s first axis.
+
+    AD flows through scene build (geometry) exactly like the single-chip
+    ``Integrator.render_fn``; each device consumes an independent fold of
+    ``key`` and the images are averaged with ``pmean``.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    scene.prepare_accel()
+    local_scene = _scaled_opts_scene(scene, n_dev)
+
+    def per_device(params, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        flat = local_scene.build(params)
+        img = integrator.radiance_image(local_scene, flat, sensor_id, key,
+                                        with_boundary)
+        return jax.lax.pmean(img, axis)
+
+    params_spec = jax.tree.map(lambda _: P(), scene.params())
+    f = shard_map(per_device, mesh=mesh,
+                  in_specs=(params_spec, P()), out_specs=P(),
+                  check_vma=False)
+
+    def render(params, key):
+        return f(params, key)
+
+    return render
+
+
+def replicate_scene_params(params, mesh: Mesh):
+    """Place a parameter pytree replicated over every device of the mesh."""
+    sharding = jax.sharding.NamedSharding(mesh, P())
+    return jax.device_put(params, sharding)
+
+
+def make_train_step(integrator, scene, mesh: Mesh, target_image,
+                    optimizer=None, sensor_id: int = 0,
+                    with_boundary: bool = True):
+    """Jitted multi-chip inverse-rendering step.
+
+    Returns ``(step, opt_state)`` where
+    ``step(params, opt_state, key) -> (params, opt_state, loss)`` renders
+    data-parallel, computes an L2 loss against ``target_image``
+    ((num_pixels, 3), replicated), backpropagates through the sharded render
+    (geometry + BSDF + emitter + sensor parameter gradients, psum'd over the
+    mesh by the shard_map transpose), and applies one optimizer update.
+    """
+    import optax
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    render = shard_render_fn(integrator, scene, mesh, sensor_id,
+                             with_boundary)
+    target = jnp.asarray(target_image)
+
+    def loss_fn(params, key):
+        img = render(params, key)
+        diff = img - target
+        return jnp.mean(diff * diff)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    opt_state = optimizer.init(scene.params())
+    return step, opt_state

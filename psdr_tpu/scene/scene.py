@@ -31,6 +31,8 @@ from ..core.math import (bilinear, dot, norm, normalize, rgb2luminance,
 from ..core.records import (BoundarySegSample, Intersection, PositionSample,
                             Ray, RenderOptions)
 from ..accel.bruteforce import ray_intersect_brute
+from ..accel.bvh import (BVH, build_bvh_topology, ray_intersect_bvh,
+                         refit_bvh)
 from ..bsdf import Diffuse, RoughConductor
 from ..emitter import AreaLight, EnvironmentMap
 from ..emitter.envmap import (EnvmapState, configure_envmap,
@@ -68,6 +70,7 @@ class FlatScene(NamedTuple):
     envmap: Optional[EnvmapState]
     lower: jax.Array             # (3,) scene AABB
     upper: jax.Array
+    accel: Optional[BVH] = None  # refit BVH; None -> brute force
 
 
 class Scene:
@@ -84,6 +87,11 @@ class Scene:
         self.param_map: dict = {}
         self._configured = False
         self._flat_cache = None
+        # ray-intersection backend: "auto" | "brute" | "bvh"
+        self.accel_mode = "auto"
+        self.accel_leaf_size = 4
+        self.accel_min_faces = 512  # "auto" switches to BVH above this
+        self._bvh_topo = None
 
     # -- construction --------------------------------------------------------
     def add_bsdf(self, bsdf, bsdf_id: str = "") -> int:
@@ -142,8 +150,25 @@ class Scene:
             s.set_params(sp)
         self._flat_cache = None
 
+    def _use_bvh(self) -> bool:
+        total = sum(m.num_faces for m in self.meshes)
+        return (self.accel_mode == "bvh"
+                or (self.accel_mode == "auto"
+                    and total >= self.accel_min_faces))
+
+    def prepare_accel(self) -> None:
+        """Host-side, concrete: build the static BVH topology (triangle
+        Morton order + skip links) from the current geometry. Subsequent
+        (possibly traced) ``build`` calls only refit AABBs."""
+        if self._use_bvh() and self._bvh_topo is None:
+            flat0 = self.build(self.params())
+            self._bvh_topo = build_bvh_topology(
+                np.asarray(flat0.tri.p0), np.asarray(flat0.tri.e1),
+                np.asarray(flat0.tri.e2), leaf_size=self.accel_leaf_size)
+
     def configure(self) -> "FlatScene":
         """Build + cache the flat scene at the current parameters."""
+        self.prepare_accel()
         self._flat_cache = self.build(self.params())
         self._configured = True
         return self._flat_cache
@@ -289,8 +314,14 @@ class Scene:
                 new_states.append(st)
             sensor_states = new_states
 
+        accel = None
+        if (self._bvh_topo is not None
+                and self._bvh_topo.num_faces == tri.p0.shape[0]):
+            accel = refit_bvh(self._bvh_topo, tri.p0, tri.e1, tri.e2)
+
         self.face_offset = face_offset
         return FlatScene(
+            accel=accel,
             tri=tri,
             uv0=jnp.concatenate(uv0_l), uv1=jnp.concatenate(uv1_l),
             uv2=jnp.concatenate(uv2_l),
@@ -327,8 +358,11 @@ _BOUND_FACES = [
 def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
                   path_space: bool = False, want_tri_info: bool = False):
     """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
-    hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
-                              ray.o, ray.d, active)
+    if flat.accel is not None:
+        hit = ray_intersect_bvh(flat.accel, ray.o, ray.d, active)
+    else:
+        hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
+                                  ray.o, ray.d, active)
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
