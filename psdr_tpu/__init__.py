@@ -9,6 +9,7 @@ __version__ = "0.1.0"
 
 from .core.records import RenderOptions
 from .scene import Scene
+from .scene.loader import load_file, load_string, load_integrator
 from .shape import Mesh, load_obj
 from .shape import primitives
 from .bsdf import Diffuse, RoughConductor
