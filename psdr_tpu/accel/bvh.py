@@ -48,12 +48,16 @@ class BVHTopology(NamedTuple):
 
 
 class BVH(NamedTuple):
-    """Device-side refit result consumed by traversal (all detached)."""
-    node_lo: jax.Array      # (2P, 3) heap-ordered AABB mins (index 0 unused)
-    node_hi: jax.Array      # (2P, 3)
-    tp0: jax.Array          # (P*L, 3) permuted triangle SoA
-    te1: jax.Array
-    te2: jax.Array
+    """Device-side refit result consumed by traversal (all detached).
+
+    Layouts are packed for one-row-per-step gathers: the traversal loop
+    issues exactly two f32 gathers (node row, leaf-triangle row) and one
+    int32 gather (skip link) per iteration — many small per-component
+    gathers inside a while_loop are XLA-TPU compile/runtime poison.
+    """
+    nodes: jax.Array        # (2P, 6) heap order: [lo.xyz, hi.xyz]; row 0 unused
+    leaf_tris: jax.Array    # (P, 9L): per leaf [p0x*L, p0y*L, p0z*L, e1x*L, ...]
+    tri_valid: jax.Array    # (P, L) bool
     perm: jax.Array         # (P*L,) int32 (-1 for padding)
     skip: jax.Array         # (2P,) int32 static preorder skip links
     num_leaves: int
@@ -112,6 +116,7 @@ def refit_bvh(topo: BVHTopology, p0: jax.Array, e1: jax.Array,
     perm = jnp.asarray(topo.perm)
     idx = jnp.maximum(perm, 0)
     valid = perm >= 0
+    # padded-slot degenerate tris: p0 at +inf never hits nor affects AABBs
     tp0 = jnp.where(valid[:, None], p0[idx], _INF)
     te1 = jnp.where(valid[:, None], e1[idx], 0.0)
     te2 = jnp.where(valid[:, None], e2[idx], 0.0)
@@ -138,9 +143,16 @@ def refit_bvh(topo: BVHTopology, p0: jax.Array, e1: jax.Array,
                               + [l for l in reversed(levels_lo)])
     node_hi = jnp.concatenate([jnp.full((1, 3), -_INF)]
                               + [h for h in reversed(levels_hi)])
-    return BVH(node_lo=node_lo, node_hi=node_hi, tp0=tp0, te1=te1, te2=te2,
-               perm=perm, skip=jnp.asarray(topo.skip),
-               num_leaves=P, leaf_size=L)
+    nodes = jnp.concatenate([node_lo, node_hi], axis=-1)  # (2P, 6)
+
+    # leaf_tris rows: 9 components x L contiguous values
+    comps = [tp0[:, 0], tp0[:, 1], tp0[:, 2], te1[:, 0], te1[:, 1],
+             te1[:, 2], te2[:, 0], te2[:, 1], te2[:, 2]]
+    leaf_tris = jnp.concatenate(
+        [c.reshape(P, L) for c in comps], axis=-1)  # (P, 9L)
+    return BVH(nodes=nodes, leaf_tris=leaf_tris,
+               tri_valid=valid.reshape(P, L), perm=perm,
+               skip=jnp.asarray(topo.skip), num_leaves=P, leaf_size=L)
 
 
 def ray_intersect_bvh(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,
@@ -175,6 +187,8 @@ def ray_intersect_bvh(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,
         o, d, act, tm = args
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                                 jnp.where(d < 0, -1e-20, 1e-20), d)
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
         def cond(state):
             node, *_ = state
@@ -183,40 +197,50 @@ def ray_intersect_bvh(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,
         def body(state):
             node, t_best, id_best, uv_best = state
             ni = jnp.maximum(node, 1)
-            lo = bvh.node_lo[ni]
-            hi = bvh.node_hi[ni]
-            # slab test against [RayEpsilon, t_best]
-            t0 = (lo - o) * inv_d
-            t1 = (hi - o) * inv_d
+            row = bvh.nodes[ni]                       # (rb, 6) one gather
+            t0 = (row[:, :3] - o) * inv_d
+            t1 = (row[:, 3:] - o) * inv_d
             tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
             tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
             box_hit = (tnear <= tfar) & (tfar > RayEpsilon) & (tnear < t_best)
 
             is_leaf = ni >= P
-            base = jnp.where(is_leaf, (ni - P) * L, 0)
+            leaf = jnp.where(is_leaf, ni - P, 0)
+            trow = bvh.leaf_tris[leaf]                # (rb, 9L) one gather
+            c = [trow[:, k * L:(k + 1) * L] for k in range(9)]
+            # Moller-Trumbore vectorized over the L leaf triangles
+            hx = dy[:, None] * c[8] - dz[:, None] * c[7]
+            hy = dz[:, None] * c[6] - dx[:, None] * c[8]
+            hz = dx[:, None] * c[7] - dy[:, None] * c[6]
+            a = c[3] * hx + c[4] * hy + c[5] * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+            sx = ox[:, None] - c[0]
+            sy = oy[:, None] - c[1]
+            sz = oz[:, None] - c[2]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * c[5] - sz * c[4]
+            qy = sz * c[3] - sx * c[5]
+            qz = sx * c[4] - sy * c[3]
+            v = f * (dx[:, None] * qx + dy[:, None] * qy + dz[:, None] * qz)
+            t = f * (c[6] * qx + c[7] * qy + c[8] * qz)
+
             do_tri = box_hit & is_leaf & (node > 0)
-            for k in range(L):
-                tid = base + k
-                cp0 = bvh.tp0[tid]
-                ce1 = bvh.te1[tid]
-                ce2 = bvh.te2[tid]
-                h = jnp.cross(d, ce2)
-                a = jnp.sum(ce1 * h, axis=-1)
-                f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
-                s = o - cp0
-                u = f * jnp.sum(s * h, axis=-1)
-                q = jnp.cross(s, ce1)
-                v = f * jnp.sum(d * q, axis=-1)
-                t = f * jnp.sum(ce2 * q, axis=-1)
-                ok = (do_tri & (bvh.perm[tid] >= 0) & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (t > RayEpsilon) & (t < t_best))
-                t_best = jnp.where(ok, t, t_best)
-                id_best = jnp.where(ok, tid, id_best)
-                uv_best = jnp.where(ok[:, None],
-                                    jnp.stack([u, v], axis=-1), uv_best)
+            ok = (do_tri[:, None] & bvh.tri_valid[leaf] & (u >= 0.0)
+                  & (v >= 0.0) & (u + v <= 1.0) & (t > RayEpsilon)
+                  & (t < t_best[:, None]))
+            t_m = jnp.where(ok, t, _INF)
+            j = jnp.argmin(t_m, axis=-1)
+            rows_i = jnp.arange(t_m.shape[0])
+            t_c = t_m[rows_i, j]
+            closer = t_c < t_best
+            t_best = jnp.where(closer, t_c, t_best)
+            id_best = jnp.where(closer, leaf * L + j.astype(jnp.int32),
+                                id_best)
+            uv_c = jnp.stack([u[rows_i, j], v[rows_i, j]], axis=-1)
+            uv_best = jnp.where(closer[:, None], uv_c, uv_best)
 
             descend = box_hit & ~is_leaf
-            nxt = jnp.where(descend, 2 * ni, skip[ni])
+            nxt = jnp.where(descend, 2 * ni, skip[ni])  # one int gather
             node = jnp.where(node > 0, nxt, 0)
             return node, t_best, id_best, uv_best
 
