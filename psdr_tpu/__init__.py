@@ -15,4 +15,5 @@ from .shape import primitives
 from .bsdf import Diffuse, RoughConductor
 from .emitter import AreaLight, EnvironmentMap
 from .sensor import PerspectiveCamera
-from .integrator import DirectIntegrator, FieldExtractionIntegrator
+from .integrator import (DirectIntegrator, FieldExtractionIntegrator,
+                         PathTracer)

@@ -372,6 +372,9 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     if path_space:
         uv = sg(hit.uv)
         p = bilinear(tri.p0, tri.e1, tri.e2, uv)
+        # miss lanes gather triangle 0; if the ray origin sits on it, the
+        # norm() below has a NaN gradient at 0 — park dead lanes at o + d
+        p = jnp.where(valid[..., None], p, sg(ray.o + ray.d))
         d = p - ray.o
         t = norm(d)
         d = d / jnp.maximum(t, 1e-20)[..., None]
@@ -379,6 +382,11 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
         J = tri.face_area / sg(tri.face_area)
     else:
         uv, t = ray_intersect_triangle(tri.p0, tri.e1, tri.e2, ray.o, ray.d)
+        # miss lanes recompute against the gathered triangle 0 with a near-
+        # singular 1/a factor; park them at t=1 so no 1e20-scale positions
+        # (and their catastrophic float32 cancellations) enter later bounces
+        t = jnp.where(valid, t, 1.0)
+        uv = jnp.where(valid[..., None], uv, 0.0)
         p = ray.at(t)
         wi_world = -ray.d
         J = jnp.ones_like(t)

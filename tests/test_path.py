@@ -1,0 +1,79 @@
+"""Path-tracer validation: depth-1 equivalence with DirectIntegrator,
+energy growth with depth, and interior gradient sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psdr_tpu import DirectIntegrator, PathTracer
+
+from scenes import cbox_scene, sphere_light_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cbox_scene(width=32, height=32, spp=16)
+
+
+def _avg_render(integ, sc, seeds=4):
+    imgs = [np.asarray(integ.renderC(sc, seed=s)) for s in range(seeds)]
+    return np.mean(imgs, axis=0)
+
+
+def test_depth1_matches_direct(scene):
+    """With max_depth=1 the estimator is Direct's: identical integrand,
+    so the MC means must agree within noise."""
+    d = _avg_render(DirectIntegrator(1, 1), scene)
+    p = _avg_render(PathTracer(max_depth=1), scene)
+    assert np.all(np.isfinite(p))
+    assert abs(p.mean() - d.mean()) < 0.05 * d.mean()
+
+
+def test_depth_adds_energy(scene):
+    """Multi-bounce transport adds energy in an enclosed box (global
+    illumination > direct-only) and converges as depth grows."""
+    m1 = _avg_render(PathTracer(max_depth=1), scene).mean()
+    m3 = _avg_render(PathTracer(max_depth=3), scene).mean()
+    m5 = _avg_render(PathTracer(max_depth=5), scene).mean()
+    assert m3 > m1 * 1.05          # noticeable indirect light
+    assert m5 >= m3 * 0.98         # monotone-ish
+    assert (m5 - m3) < (m3 - m1)   # geometric falloff of added bounces
+
+
+def test_path_gradients_finite_and_nonzero():
+    sc = sphere_light_scene(width=24, height=24, spp=4)
+    integ = PathTracer(max_depth=3)
+    f = integ.render_fn(sc, with_boundary=False)
+
+    def loss(params):
+        return jnp.mean(f(params, jax.random.PRNGKey(0)))
+
+    g = jax.grad(loss)(sc.params())
+    leaf = np.asarray(g["bsdfs"][0]["reflectance"])
+    assert np.all(np.isfinite(leaf))
+    assert np.abs(leaf).max() > 0.0
+    gv = np.asarray(g["meshes"][0]["vertex_positions"])
+    assert np.all(np.isfinite(gv))
+
+
+def test_path_albedo_gradient_vs_fd():
+    """Interior-term gradient check: d(mean image)/d(albedo scale) by AD
+    must match central finite differences (depth=2 so the gradient includes
+    multi-bounce terms)."""
+    sc = sphere_light_scene(width=16, height=16, spp=8)
+    integ = PathTracer(max_depth=2)
+    f = integ.render_fn(sc, with_boundary=False)
+    base = sc.params()
+    key = jax.random.PRNGKey(7)
+
+    def loss_at(theta):
+        p = jax.tree.map(lambda x: x, base)
+        p["bsdfs"][0]["reflectance"] = base["bsdfs"][0]["reflectance"] * theta
+        return jnp.mean(f(p, key))
+
+    g_ad = float(jax.grad(loss_at)(jnp.float32(1.0)))
+    eps = 1e-2
+    g_fd = float((loss_at(jnp.float32(1.0 + eps))
+                  - loss_at(jnp.float32(1.0 - eps))) / (2 * eps))
+    assert g_fd != 0.0
+    np.testing.assert_allclose(g_ad, g_fd, rtol=2e-2)
