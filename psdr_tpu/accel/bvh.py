@@ -60,8 +60,16 @@ class BVH(NamedTuple):
     tri_valid: jax.Array    # (P, L) bool
     perm: jax.Array         # (P*L,) int32 (-1 for padding)
     skip: jax.Array         # (2P,) int32 static preorder skip links
-    num_leaves: int
-    leaf_size: int
+
+    # static tree dimensions derived from (trace-time) shapes, so a BVH that
+    # crossed a jit boundary keeps them as Python ints, never tracers
+    @property
+    def num_leaves(self) -> int:
+        return self.nodes.shape[0] // 2
+
+    @property
+    def leaf_size(self) -> int:
+        return self.leaf_tris.shape[1] // 9
 
 
 def _next_pow2(n: int) -> int:
@@ -152,7 +160,134 @@ def refit_bvh(topo: BVHTopology, p0: jax.Array, e1: jax.Array,
         [c.reshape(P, L) for c in comps], axis=-1)  # (P, 9L)
     return BVH(nodes=nodes, leaf_tris=leaf_tris,
                tri_valid=valid.reshape(P, L), perm=perm,
-               skip=jnp.asarray(topo.skip), num_leaves=P, leaf_size=L)
+               skip=jnp.asarray(topo.skip))
+
+
+def ray_intersect_culled(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,
+                         active: jax.Array | None = None,
+                         tmax: jax.Array | None = None,
+                         ray_block: int = 2048,
+                         tri_block: int = 512) -> HitRecord:
+    """Block-culled dense intersection — the TPU-shaped fast path.
+
+    Instead of a per-ray pointer walk (gather-latency-bound on TPU), cut the
+    implicit tree at the level with B = P*L/T nodes ("tri-blocks" of T
+    Morton-adjacent triangles):
+
+    1. cull: dense (R, B) slab tests — pure VPU elementwise, no gathers;
+    2. compact: the list of blocks hit by ANY ray of the R-block (host-free,
+       `cumsum` + scatter);
+    3. sweep: a while_loop over just the occupied blocks; each iteration
+       dynamic-slices one (9T,) packed triangle row (contiguous DMA, not a
+       gather) and runs a dense (R, T) component-form Moller-Trumbore tile
+       with running closest-hit reduction.
+
+    Work scales with (occupied blocks) x R x T instead of R x F; every
+    compute op is a dense 2D VPU tile, and loop trip counts are tens, not
+    thousands.
+    """
+    from .bruteforce import moller_trumbore_tile
+
+    sg = jax.lax.stop_gradient
+    ray_o, ray_d = sg(ray_o), sg(ray_d)
+    n_rays = ray_o.shape[0]
+    P, L = bvh.num_leaves, bvh.leaf_size
+
+    n_tris_padded = P * L
+    T = min(tri_block, n_tris_padded)
+    n_blocks = max(1, n_tris_padded // T)
+    # cut level: heap level with n_blocks nodes occupies [n_blocks, 2*n_blocks)
+    blocks = bvh.nodes[n_blocks:2 * n_blocks]          # (B, 6)
+    # (P, 9L) -> (B, leaves/block, 9, L) -> (B, 9, T) -> (B, 9T)
+    lpb = P // n_blocks
+    tri_rows = (bvh.leaf_tris.reshape(n_blocks, lpb, 9, L)
+                .transpose(0, 2, 1, 3).reshape(n_blocks, 9 * T))
+    valid_rows = bvh.tri_valid.reshape(n_blocks, T)
+
+    if active is None:
+        active = jnp.ones((n_rays,), bool)
+    else:
+        active = sg(active)
+    if tmax is None:
+        tmax = jnp.full((n_rays,), _INF)
+    else:
+        tmax = sg(jnp.broadcast_to(tmax, (n_rays,)))
+
+    rb = min(ray_block, max(8, n_rays))
+    r_pad = _ceil_to(n_rays, rb)
+    n_rblocks = r_pad // rb
+    ro = _pad_to(ray_o, r_pad).reshape(n_rblocks, rb, 3)
+    rd = _pad_to(ray_d, r_pad).reshape(n_rblocks, rb, 3)
+    ract = _pad_to(active, r_pad).reshape(n_rblocks, rb)
+    rtmax = _pad_to(tmax, r_pad, value=0.0).reshape(n_rblocks, rb)
+
+    blo = blocks[:, :3]
+    bhi = blocks[:, 3:]
+
+    def block_fn(args):
+        o, d, act, tm = args
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                                jnp.where(d < 0, -1e-20, 1e-20), d)
+        ox, oy, oz = (o[:, c:c + 1] for c in range(3))
+        dx, dy, dz = (d[:, c:c + 1] for c in range(3))
+
+        # --- cull: (R, B) slab tests, one component at a time ---
+        tn = jnp.full((rb, n_blocks), RayEpsilon)
+        tf = jnp.broadcast_to(tm[:, None], (rb, n_blocks))
+        for c in range(3):
+            t0 = (blo[None, :, c] - o[:, c:c + 1]) * inv_d[:, c:c + 1]
+            t1 = (bhi[None, :, c] - o[:, c:c + 1]) * inv_d[:, c:c + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit_any = jnp.any((tn <= tf) & act[:, None], axis=0)  # (B,)
+
+        # --- compact occupied block ids to the front ---
+        order = jnp.argsort(~hit_any)           # occupied first, stable
+        count = jnp.sum(hit_any.astype(jnp.int32))
+
+        def cond(state):
+            j, *_ = state
+            return j < count
+
+        def body(state):
+            j, t_best, id_best, uv_best = state
+            b = order[j]
+            row = jax.lax.dynamic_slice(tri_rows, (b, 0), (1, 9 * T))
+            tri9 = tuple(row[0, k * T:(k + 1) * T][None, :] for k in range(9))
+            u, v, t = moller_trumbore_tile(ox, oy, oz, dx, dy, dz, tri9)
+            vrow = jax.lax.dynamic_slice(valid_rows, (b, 0), (1, T))
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t > RayEpsilon) & (t < t_best[:, None])
+                  & vrow & act[:, None])
+            t_m = jnp.where(ok, t, _INF)
+            jj = jnp.argmin(t_m, axis=1)
+            rows_i = jnp.arange(rb)
+            t_c = t_m[rows_i, jj]
+            closer = t_c < t_best
+            t_best = jnp.where(closer, t_c, t_best)
+            id_best = jnp.where(closer, b * T + jj.astype(jnp.int32), id_best)
+            uv_c = jnp.stack([u[rows_i, jj], v[rows_i, jj]], axis=-1)
+            uv_best = jnp.where(closer[:, None], uv_c, uv_best)
+            return j + 1, t_best, id_best, uv_best
+
+        init = (jnp.int32(0), tm, jnp.full((rb,), -1, jnp.int32),
+                jnp.zeros((rb, 2), jnp.float32))
+        _, t_best, id_best, uv_best = jax.lax.while_loop(cond, body, init)
+        return t_best, id_best, uv_best
+
+    if n_rblocks == 1:
+        t_b, id_b, uv_b = block_fn((ro[0], rd[0], ract[0], rtmax[0]))
+        t_all, id_all, uv_all = t_b[None], id_b[None], uv_b[None]
+    else:
+        t_all, id_all, uv_all = jax.lax.map(
+            block_fn, (ro, rd, ract, rtmax))
+
+    t = jnp.where(id_all.reshape(r_pad) >= 0, t_all.reshape(r_pad),
+                  _INF)[:n_rays]
+    slot = id_all.reshape(r_pad)[:n_rays]
+    tri_id = jnp.where(slot >= 0, bvh.perm[jnp.maximum(slot, 0)], -1)
+    uv = uv_all.reshape(r_pad, 2)[:n_rays]
+    return HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv, t=t)
 
 
 def ray_intersect_bvh(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,

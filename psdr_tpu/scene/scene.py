@@ -32,7 +32,7 @@ from ..core.records import (BoundarySegSample, Intersection, PositionSample,
                             Ray, RenderOptions)
 from ..accel.bruteforce import ray_intersect_brute
 from ..accel.bvh import (BVH, build_bvh_topology, ray_intersect_bvh,
-                         refit_bvh)
+                         ray_intersect_culled, refit_bvh)
 from ..bsdf import Diffuse, RoughConductor
 from ..emitter import AreaLight, EnvironmentMap
 from ..emitter.envmap import (EnvmapState, configure_envmap,
@@ -71,6 +71,7 @@ class FlatScene(NamedTuple):
     lower: jax.Array             # (3,) scene AABB
     upper: jax.Array
     accel: Optional[BVH] = None  # refit BVH; None -> brute force
+    accel_kind: str = "culled"   # "culled" (block-cull dense) | "bvh" (walk)
 
 
 class Scene:
@@ -87,7 +88,7 @@ class Scene:
         self.param_map: dict = {}
         self._configured = False
         self._flat_cache = None
-        # ray-intersection backend: "auto" | "brute" | "bvh"
+        # ray-intersection backend: "auto" | "brute" | "bvh" | "culled"
         self.accel_mode = "auto"
         self.accel_leaf_size = 4
         self.accel_min_faces = 512  # "auto" switches to BVH above this
@@ -152,7 +153,7 @@ class Scene:
 
     def _use_bvh(self) -> bool:
         total = sum(m.num_faces for m in self.meshes)
-        return (self.accel_mode == "bvh"
+        return (self.accel_mode in ("bvh", "culled")
                 or (self.accel_mode == "auto"
                     and total >= self.accel_min_faces))
 
@@ -322,6 +323,7 @@ class Scene:
         self.face_offset = face_offset
         return FlatScene(
             accel=accel,
+            accel_kind="bvh" if self.accel_mode == "bvh" else "culled",
             tri=tri,
             uv0=jnp.concatenate(uv0_l), uv1=jnp.concatenate(uv1_l),
             uv2=jnp.concatenate(uv2_l),
@@ -359,7 +361,9 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
                   path_space: bool = False, want_tri_info: bool = False):
     """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
     if flat.accel is not None:
-        hit = ray_intersect_bvh(flat.accel, ray.o, ray.d, active)
+        intersect = (ray_intersect_bvh if flat.accel_kind == "bvh"
+                     else ray_intersect_culled)
+        hit = intersect(flat.accel, ray.o, ray.d, active)
     else:
         hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
                                   ray.o, ray.d, active)

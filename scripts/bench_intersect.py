@@ -1,4 +1,9 @@
-"""Micro-benchmark: intersection backends on the current default device.
+"""Micro-benchmark: intersection backends (single fused jit per variant).
+
+Every variant (brute force / BVH with different leaf sizes) is ONE jitted
+function containing refit + traversal, because the axon tunnel makes eager
+dispatches cost ~0.3s each. Geometry is a real surface (icosphere), rays a
+camera-like bundle from outside.
 
 Usage: python scripts/bench_intersect.py [n_rays] [tri_counts...]
 """
@@ -13,22 +18,23 @@ import jax
 import jax.numpy as jnp
 
 from psdr_tpu.accel.bruteforce import ray_intersect_brute
-from psdr_tpu.accel.bvh import build_bvh_topology, ray_intersect_bvh, refit_bvh
-from psdr_tpu.shape.primitives import make_icosphere
+from psdr_tpu.accel.bvh import (build_bvh_topology, ray_intersect_bvh,
+                                ray_intersect_culled, refit_bvh)
 
 
 def make_tris(n_target):
+    from psdr_tpu.shape import primitives
+    import psdr_tpu.shape.mesh as meshmod
     subdiv = 0
     while 20 * 4 ** subdiv < n_target:
         subdiv += 1
-    m = make_icosphere(subdiv=subdiv, radius=1.0)
-    import psdr_tpu.shape.mesh as meshmod
+    m = primitives.make_icosphere(subdiv=subdiv, radius=1.0)
     info, _ = meshmod.compute_triangle_info(
         jnp.asarray(m.vertices), jnp.asarray(m.faces), m.num_vertices)
-    return np.asarray(info.p0), np.asarray(info.e1), np.asarray(info.e2)
+    return (np.asarray(info.p0), np.asarray(info.e1), np.asarray(info.e2))
 
 
-def bench(fn, *args, iters=5):
+def bench(fn, args, iters=3):
     out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -40,30 +46,39 @@ def bench(fn, *args, iters=5):
 def main():
     n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
     tri_counts = ([int(x) for x in sys.argv[2:]] if len(sys.argv) > 2
-                  else [1280, 5120, 20480, 81920, 327680])
+                  else [1280, 20480, 81920])
 
     rng = np.random.default_rng(0)
-    o = jnp.asarray(rng.uniform(-3, 3, (n_rays, 3)).astype(np.float32))
-    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
-    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    # camera-like bundle: origins on a small patch, directions toward sphere
+    o_np = np.array([0.0, 0.0, 3.0], np.float32) + \
+        0.1 * rng.standard_normal((n_rays, 3)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
+    d_np = tgt - o_np
+    d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o_np), jnp.asarray(d_np)
 
-    for f in tri_counts:
-        p0, e1, e2 = make_tris(f)
-        f_real = p0.shape[0]
-        jp0, je1, je2 = jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2)
+    for f_target in tri_counts:
+        p0n, e1n, e2n = make_tris(f_target)
+        f_real = p0n.shape[0]
+        args = (jnp.asarray(p0n), jnp.asarray(e1n), jnp.asarray(e2n), o, d)
 
-        brute = jax.jit(lambda o, d: ray_intersect_brute(jp0, je1, je2, o, d))
-        dt_b, hb = bench(brute, o, d)
+        t_brute, hb = bench(jax.jit(
+            lambda p0, e1, e2, o, d: ray_intersect_brute(p0, e1, e2, o, d)),
+            args)
+        line = f"F={f_real:7d}  brute {n_rays/t_brute/1e6:8.2f} Mray/s"
 
-        topo = build_bvh_topology(p0, e1, e2, leaf_size=4)
-        bvh = refit_bvh(topo, jp0, je1, je2)
-        bvh_fn = jax.jit(lambda o, d: ray_intersect_bvh(bvh, o, d))
-        dt_v, hv = bench(bvh_fn, o, d)
+        topo = build_bvh_topology(p0n, e1n, e2n, leaf_size=4)
+        for T, R in ((256, 2048), (512, 2048), (1024, 4096)):
+            def fused(p0, e1, e2, o, d, topo=topo, T=T, R=R):
+                bvh = refit_bvh(topo, p0, e1, e2)
+                return ray_intersect_culled(bvh, o, d, tri_block=T,
+                                            ray_block=R)
 
-        agree = np.mean(np.asarray(hb.tri_id) == np.asarray(hv.tri_id))
-        print(f"F={f_real:7d}  brute {n_rays/dt_b/1e6:9.1f} Mray/s   "
-              f"bvh {n_rays/dt_v/1e6:9.1f} Mray/s   agree={agree:.4f}",
-              flush=True)
+            t_c, hv = bench(jax.jit(fused), args)
+            agree = float(np.mean(np.asarray(hb.tri_id) == np.asarray(hv.tri_id)))
+            line += (f"   cull(T={T},R={R}) {n_rays/t_c/1e6:8.2f}"
+                     f" agree={agree:.4f}")
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -102,3 +102,47 @@ def test_bvh_gradients_flow_through_recompute():
         g = jax.grad(loss)(sc.params())
         grads.append(np.asarray(g["bsdfs"][0]["reflectance"]))
     np.testing.assert_allclose(grads[0], grads[1], rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("n_tris,tri_block", [(64, 64), (501, 128),
+                                              (2048, 512)])
+def test_culled_matches_brute(n_tris, tri_block):
+    from psdr_tpu.accel.bvh import ray_intersect_culled
+    p0, e1, e2 = _random_soup(n_tris, seed=3)
+    o, d = _random_rays(512, seed=4)
+    topo = build_bvh_topology(p0, e1, e2, leaf_size=4)
+    bvh = refit_bvh(topo, jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2))
+
+    hb = ray_intersect_brute(jnp.asarray(p0), jnp.asarray(e1),
+                             jnp.asarray(e2), o, d)
+    hv = ray_intersect_culled(bvh, o, d, tri_block=tri_block)
+
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hv.valid))
+    same = np.asarray(hb.tri_id) == np.asarray(hv.tri_id)
+    tie = np.isclose(np.asarray(hb.t), np.asarray(hv.t), rtol=1e-5)
+    assert np.all(same | tie)
+
+
+def test_culled_respects_active():
+    from psdr_tpu.accel.bvh import ray_intersect_culled
+    p0, e1, e2 = _random_soup(256)
+    o, d = _random_rays(128)
+    topo = build_bvh_topology(p0, e1, e2)
+    bvh = refit_bvh(topo, jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2))
+    active = jnp.arange(128) % 2 == 0
+    hv = ray_intersect_culled(bvh, o, d, active=active)
+    assert not np.any(np.asarray(hv.valid)[1::2])
+
+
+def test_scene_render_same_with_culled():
+    from psdr_tpu import DirectIntegrator
+
+    sc1 = cbox_scene(width=24, height=24, spp=4)
+    sc1.accel_mode = "brute"
+    sc2 = cbox_scene(width=24, height=24, spp=4)
+    sc2.accel_mode = "culled"
+
+    integ = DirectIntegrator(1, 1)
+    img1 = np.asarray(integ.renderC(sc1, seed=5))
+    img2 = np.asarray(integ.renderC(sc2, seed=5))
+    np.testing.assert_allclose(img1, img2, rtol=1e-4, atol=1e-5)
