@@ -92,8 +92,17 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 def build_bvh_topology(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                        leaf_size: int = 4) -> BVHTopology:
     """Host-side build: Morton-sort triangle centroids, chunk into power-of-two
-    leaves, precompute the arithmetic preorder skip table."""
+    leaves, precompute the arithmetic preorder skip table. Uses the C++
+    native builder when available (the OptiX-GAS-build analog)."""
+    from .. import native
     f = p0.shape[0]
+    nat = native.morton_topology(np.asarray(p0), np.asarray(e1),
+                                 np.asarray(e2), leaf_size) \
+        if native.available() else None
+    if nat is not None:
+        perm, skip, P = nat
+        return BVHTopology(perm=perm, skip=skip, num_leaves=P,
+                           leaf_size=leaf_size, num_faces=f)
     centroid = p0 + (e1 + e2) / 3.0
     lo = centroid.min(axis=0)
     extent = np.maximum(centroid.max(axis=0) - lo, 1e-12)

@@ -189,9 +189,13 @@ class Mesh:
 def build_edges(faces: np.ndarray) -> np.ndarray:
     """Edge-adjacency table (E, 5): [v0, v1, face0, face1|-1, opp_vertex0].
 
-    Enforces 2-manifoldness like mesh.cpp:143-203. Vectorized numpy grouping
-    instead of a std::map.
+    Enforces 2-manifoldness like mesh.cpp:143-203. Uses the C++ native
+    builder when available; numpy grouping otherwise.
     """
+    from .. import native
+    out = native.build_edges(faces)
+    if out is not None:
+        return out
     f = faces.astype(np.int64)
     n_faces = f.shape[0]
     # all directed half-edges with their face + opposite vertex
@@ -229,10 +233,17 @@ def build_edges(faces: np.ndarray) -> np.ndarray:
 
 
 def load_obj(fname: str, **kwargs) -> Mesh:
-    """Minimal OBJ parser (v / vt / f with v, v/t, v//n, v/t/n forms).
+    """OBJ parser (v / vt / f with v, v/t, v//n, v/t/n forms).
 
     Replaces the reference's vendored tinyobjloader (mesh.cpp:62-141).
+    Uses the C++ native parser when available; Python line loop otherwise.
     """
+    from .. import native
+    parsed = native.obj_load(fname) if native.available() else None
+    if parsed is not None:
+        verts_np, faces_np, uvs_np, fuvs_np = parsed
+        return Mesh(verts_np, faces_np, uv=uvs_np, uv_idx=fuvs_np, **kwargs)
+
     verts: list = []
     uvs: list = []
     f_v: list = []
@@ -252,9 +263,11 @@ def load_obj(fname: str, **kwargs) -> Mesh:
                 tdx = []
                 for p in parts:
                     comp = p.split("/")
-                    idx.append(int(comp[0]) - 1)
+                    v = int(comp[0])
+                    idx.append(v - 1 if v > 0 else len(verts) + v)
                     if len(comp) > 1 and comp[1]:
-                        tdx.append(int(comp[1]) - 1)
+                        t = int(comp[1])
+                        tdx.append(t - 1 if t > 0 else len(uvs) + t)
                         has_uv_face = True
                     else:
                         tdx.append(0)
