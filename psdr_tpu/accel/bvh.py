@@ -56,6 +56,10 @@ class BVH(NamedTuple):
     gathers inside a while_loop are XLA-TPU compile/runtime poison.
     """
     nodes: jax.Array        # (2P, 6) heap order: [lo.xyz, hi.xyz]; row 0 unused
+    node_mask: jax.Array    # (2P,) bool: subtree contains any real triangle.
+                            # Needed because an "empty" (+inf,-inf) AABB turns
+                            # into (-inf,+inf) under the slab min/max swap and
+                            # would hit every ray.
     leaf_tris: jax.Array    # (P, 9L): per leaf [p0x*L, p0y*L, p0z*L, e1x*L, ...]
     tri_valid: jax.Array    # (P, L) bool
     perm: jax.Array         # (P*L,) int32 (-1 for padding)
@@ -148,26 +152,31 @@ def refit_bvh(topo: BVHTopology, p0: jax.Array, e1: jax.Array,
     leaf_lo = tri_lo.reshape(P, L, 3).min(axis=1)
     leaf_hi = tri_hi.reshape(P, L, 3).max(axis=1)
 
+    leaf_mask = valid.reshape(P, L).any(axis=1)
     levels_lo = [leaf_lo]
     levels_hi = [leaf_hi]
+    levels_mask = [leaf_mask]
     while levels_lo[-1].shape[0] > 1:
         lo = levels_lo[-1].reshape(-1, 2, 3)
         hi = levels_hi[-1].reshape(-1, 2, 3)
         levels_lo.append(lo.min(axis=1))
         levels_hi.append(hi.max(axis=1))
+        levels_mask.append(levels_mask[-1].reshape(-1, 2).any(axis=1))
     # heap order: nodes[1] = root ... nodes[P:2P] = leaves; index 0 unused
     node_lo = jnp.concatenate([jnp.full((1, 3), _INF)]
                               + [l for l in reversed(levels_lo)])
     node_hi = jnp.concatenate([jnp.full((1, 3), -_INF)]
                               + [h for h in reversed(levels_hi)])
     nodes = jnp.concatenate([node_lo, node_hi], axis=-1)  # (2P, 6)
+    node_mask = jnp.concatenate([jnp.zeros((1,), bool)]
+                                + [m for m in reversed(levels_mask)])
 
     # leaf_tris rows: 9 components x L contiguous values
     comps = [tp0[:, 0], tp0[:, 1], tp0[:, 2], te1[:, 0], te1[:, 1],
              te1[:, 2], te2[:, 0], te2[:, 1], te2[:, 2]]
     leaf_tris = jnp.concatenate(
         [c.reshape(P, L) for c in comps], axis=-1)  # (P, 9L)
-    return BVH(nodes=nodes, leaf_tris=leaf_tris,
+    return BVH(nodes=nodes, node_mask=node_mask, leaf_tris=leaf_tris,
                tri_valid=valid.reshape(P, L), perm=perm,
                skip=jnp.asarray(topo.skip))
 
@@ -248,7 +257,8 @@ def ray_intersect_culled(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,
             t1 = (bhi[None, :, c] - o[:, c:c + 1]) * inv_d[:, c:c + 1]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hit_any = jnp.any((tn <= tf) & act[:, None], axis=0)  # (B,)
+        hit_any = (jnp.any((tn <= tf) & act[:, None], axis=0)
+                   & bvh.node_mask[n_blocks:2 * n_blocks])    # (B,)
 
         # --- compact occupied block ids to the front ---
         order = jnp.argsort(~hit_any)           # occupied first, stable
@@ -346,7 +356,8 @@ def ray_intersect_bvh(bvh: BVH, ray_o: jax.Array, ray_d: jax.Array,
             t1 = (row[:, 3:] - o) * inv_d
             tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
             tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-            box_hit = (tnear <= tfar) & (tfar > RayEpsilon) & (tnear < t_best)
+            box_hit = (tnear <= tfar) & (tfar > RayEpsilon) \
+                & (tnear < t_best) & bvh.node_mask[ni]
 
             is_leaf = ni >= P
             leaf = jnp.where(is_leaf, ni - P, 0)

@@ -48,13 +48,23 @@ def main():
     tri_counts = ([int(x) for x in sys.argv[2:]] if len(sys.argv) > 2
                   else [1280, 20480, 81920])
 
-    rng = np.random.default_rng(0)
-    # camera-like bundle: origins on a small patch, directions toward sphere
-    o_np = np.array([0.0, 0.0, 3.0], np.float32) + \
-        0.1 * rng.standard_normal((n_rays, 3)).astype(np.float32)
-    tgt = rng.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
-    d_np = tgt - o_np
+    # pinhole camera ray grid: coherent in lane (scanline) order, the layout
+    # the renderer actually produces
+    side = int(np.sqrt(n_rays))
+    n_rays = side * side
+    px, py = np.meshgrid(np.linspace(-0.55, 0.55, side, dtype=np.float32),
+                         np.linspace(-0.55, 0.55, side, dtype=np.float32))
+    d_np = np.stack([px.ravel(), py.ravel(),
+                     np.full(n_rays, -1.0, np.float32)], axis=-1)
     d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+    o_np = np.broadcast_to(np.array([0.0, 0.0, 3.0], np.float32),
+                           (n_rays, 3)).copy()
+    # tile the lanes: 32x32 pixel tiles so each ray block is a tight frustum
+    ts = 32
+    yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    order = np.lexsort((xx.ravel() % ts, yy.ravel() % ts,
+                        xx.ravel() // ts, yy.ravel() // ts))
+    d_np = d_np[order]
     o, d = jnp.asarray(o_np), jnp.asarray(d_np)
 
     for f_target in tri_counts:
@@ -68,7 +78,7 @@ def main():
         line = f"F={f_real:7d}  brute {n_rays/t_brute/1e6:8.2f} Mray/s"
 
         topo = build_bvh_topology(p0n, e1n, e2n, leaf_size=4)
-        for T, R in ((256, 2048), (512, 2048), (1024, 4096)):
+        for T, R in ((128, 1024), (256, 2048), (512, 2048)):
             def fused(p0, e1, e2, o, d, topo=topo, T=T, R=R):
                 bvh = refit_bvh(topo, p0, e1, e2)
                 return ray_intersect_culled(bvh, o, d, tri_block=T,
