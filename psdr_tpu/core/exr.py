@@ -17,7 +17,7 @@ _MAGIC = 0x01312F76
 _PIXEL_TYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
 _COMPRESSION_NAMES = {0: "none", 1: "rle", 2: "zips", 3: "zip", 4: "piz",
                       5: "pxr24", 6: "b44", 7: "b44a", 8: "dwaa", 9: "dwab"}
-_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16}
+_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16, 4: 32}
 
 
 def _read_attrs(buf: memoryview, pos: int):
@@ -86,10 +86,15 @@ def read_exr(path: str) -> np.ndarray:
     attrs, pos = _read_attrs(data, 8)
 
     comp = attrs["compression"][1][0]
-    if comp not in _LINES_PER_BLOCK:
+    if comp == 4:
+        from .. import native
+        if not native.available():
+            raise ValueError(f"{path}: piz decoding requires the native "
+                             "library (g++ not available)")
+    elif comp not in _LINES_PER_BLOCK:
         raise ValueError(
             f"{path}: {_COMPRESSION_NAMES.get(comp, comp)} compression not "
-            "supported (supported: none, zips, zip)")
+            "supported (supported: none, zips, zip, piz)")
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = x1 - x0 + 1, y1 - y0 + 1
     chans = _parse_channels(attrs["channels"][1])  # alphabetical in file
@@ -107,6 +112,32 @@ def read_exr(path: str) -> np.ndarray:
         pos += size
         ny = min(lines_pb, y1 - y + 1)
         expect = bytes_per_line * ny
+        if comp == 4:
+            if size < expect:
+                from .. import native
+                sizes = [np.dtype(t).itemsize // 2 for _, t in chans]
+                u16 = native.piz_decode(raw, [width] * len(chans),
+                                        [ny] * len(chans), sizes)
+                off16 = 0
+                for (name, typ), sz in zip(chans, sizes):
+                    n16 = width * ny * sz
+                    plane = u16[off16:off16 + n16]
+                    if typ is np.float16:
+                        vals = plane.view(np.float16).reshape(ny, width)
+                    else:
+                        vals = plane.tobytes()
+                        vals = np.frombuffer(vals, typ).reshape(ny, width)
+                    planes[name][y - y0:y - y0 + ny] = vals.astype(np.float32)
+                    off16 += n16
+            else:  # stored raw (incompressible block): scanline interleave
+                off = 0
+                for line in range(ny):
+                    for name, typ in chans:
+                        nb = np.dtype(typ).itemsize * width
+                        vals = np.frombuffer(raw[off:off + nb], typ)
+                        planes[name][y - y0 + line] = vals.astype(np.float32)
+                        off += nb
+            continue
         if comp != 0 and size < expect:
             raw = _unpredict(bytearray(zlib.decompress(raw)))
         # per scanline: channels in file order, plane-contiguous

@@ -129,3 +129,28 @@ def morton_topology(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     lib.morton_topology(p0.ctypes.data, e1.ctypes.data, e2.ctypes.data,
                         nf, leaf_size, perm.ctypes.data, skip.ctypes.data)
     return perm, skip, P
+
+
+def piz_decode(block: bytes, nxs, nys, sizes) -> np.ndarray | None:
+    """Decode one PIZ block -> concatenated u16 channel planes, or None if
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_piz_ready"):
+        lib.piz_decode.restype = ctypes.c_int32
+        lib.piz_decode.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                                   ctypes.c_int32, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p]
+        lib._piz_ready = True
+    nx = np.asarray(nxs, np.int32)
+    ny = np.asarray(nys, np.int32)
+    size = np.asarray(sizes, np.int32)
+    total = int(np.sum(nx * ny * size))
+    out = np.empty(total, np.uint16)
+    rc = lib.piz_decode(block, len(block), len(nx), nx.ctypes.data,
+                        ny.ctypes.data, size.ctypes.data, out.ctypes.data)
+    if rc != 0:
+        raise ValueError(f"PIZ decode failed (code {rc})")
+    return out
