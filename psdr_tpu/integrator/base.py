@@ -11,6 +11,7 @@ Parity reference: psdr-cuda src/integrator/integrator.cpp —
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,17 @@ from ..scene.scene import FlatScene, Scene
 from ..sensor.perspective import sample_primary_edge, sample_primary_ray
 
 sg = jax.lax.stop_gradient
+
+
+def tiled_pixel_order(width: int, height: int, tile: int = 32) -> np.ndarray:
+    """Pixel ids in tile-major traversal order. Lanes that are adjacent in
+    the wavefront then form tight ray frusta, which is what makes the
+    block-culled intersection backend effective (accel/bvh.py) — scanline
+    order would spread each ray block across the whole viewport."""
+    yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    order = np.lexsort((xx.ravel() % tile, yy.ravel() % tile,
+                        xx.ravel() // tile, yy.ravel() // tile))
+    return (yy.ravel() * width + xx.ravel())[order].astype(np.int32)
 
 
 def accumulate_image(value: jax.Array, pixel_idx: jax.Array,
@@ -48,7 +60,9 @@ class Integrator:
             return jnp.zeros((num_pixels, 3), jnp.float32)
         n = num_pixels * opts.spp
         lane = jnp.arange(n, dtype=jnp.int32)
-        idx = lane // opts.spp
+        # tile-ordered pixels: consecutive lanes -> coherent ray blocks
+        pix_order = jnp.asarray(tiled_pixel_order(opts.width, opts.height))
+        idx = pix_order[lane // opts.spp]
         base = jnp.stack([(idx % opts.width).astype(jnp.float32),
                           (idx // opts.width).astype(jnp.float32)], axis=-1)
         rng = RngStream(key, salt=0)
