@@ -26,14 +26,21 @@ class Bitmap(NamedTuple):
 
 
 def constant(value, channels: int | None = None) -> Bitmap:
-    v = jnp.atleast_1d(jnp.asarray(value, jnp.float32))
+    """Host-side constructor: keeps data as numpy until a jit boundary."""
+    import numpy as np
+    v = np.atleast_1d(np.asarray(value, np.float32))
     if channels is not None and v.shape[0] != channels:
-        v = jnp.broadcast_to(v, (channels,))
+        v = np.broadcast_to(v, (channels,))
     return Bitmap(data=v.reshape(1, 1, -1))
 
 
 def from_array(arr) -> Bitmap:
-    arr = jnp.asarray(arr, jnp.float32)
+    """Host-side constructor: keeps data as numpy until a jit boundary."""
+    import numpy as np
+    if isinstance(arr, (jnp.ndarray,)) and not isinstance(arr, np.ndarray):
+        arr = jnp.asarray(arr, jnp.float32)
+    else:
+        arr = np.asarray(arr, np.float32)
     if arr.ndim == 2:
         arr = arr[..., None]
     return Bitmap(data=arr)

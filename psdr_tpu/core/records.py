@@ -105,6 +105,11 @@ class RenderOptions:
     sppe: int = 0
     sppse: int = 0
     log_level: int = 0
+    # max lanes materialized at once; larger wavefronts run as an in-jit
+    # lax.scan over passes (the reference's npass, fused into one program).
+    # Bounds XLA HLO-temp memory: some (N,3) temporaries get lane-padded
+    # 42x by TPU layout assignment.
+    pass_lanes: int = 1 << 21
 
     @property
     def num_pixels(self) -> int:

@@ -14,7 +14,8 @@ class AreaLight:
     kind = "area"
 
     def __init__(self, radiance, mesh_index: int, emitter_id: str = ""):
-        self.radiance = jnp.asarray(radiance, jnp.float32)
+        import numpy as _np
+        self.radiance = _np.asarray(radiance, _np.float32)
         self.mesh_index = int(mesh_index)
         self.id = emitter_id
 

@@ -34,9 +34,10 @@ class EnvironmentMap:
         if not isinstance(radiance, Bitmap):
             radiance = from_array(radiance)
         self.radiance = radiance
-        self.scale = jnp.asarray(scale, jnp.float32)
-        self.to_world = (jnp.eye(4, dtype=jnp.float32) if to_world is None
-                         else jnp.asarray(to_world, jnp.float32))
+        import numpy as _np
+        self.scale = _np.float32(scale)
+        self.to_world = (_np.eye(4, dtype=_np.float32) if to_world is None
+                         else _np.asarray(to_world, _np.float32))
 
     def params(self) -> dict:
         return {"radiance": self.radiance.data, "scale": self.scale,

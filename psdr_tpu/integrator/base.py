@@ -44,6 +44,27 @@ def accumulate_image(value: jax.Array, pixel_idx: jax.Array,
     return img[:num_pixels]
 
 
+def scan_lane_chunks(run_lanes, n: int, num_pixels: int, key: jax.Array,
+                     pass_lanes: int) -> jax.Array:
+    """Run ``run_lanes(lane (m,), key) -> (num_pixels, 3) partial image``
+    over the wavefront in bounded passes (in-jit lax.scan), summing images.
+    Caps XLA HLO-temp memory on huge wavefronts (see RenderOptions.pass_lanes)."""
+    chunk = min(pass_lanes, n)
+    n_chunks = -(-n // chunk)
+    if n_chunks == 1:
+        return run_lanes(jnp.arange(n, dtype=jnp.int32), key)
+    keys = jax.random.split(key, n_chunks)
+
+    def body(acc, args):
+        c, key_c = args
+        lane = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        return acc + run_lanes(lane, key_c), None
+
+    img, _ = jax.lax.scan(body, jnp.zeros((num_pixels, 3), jnp.float32),
+                          (jnp.arange(n_chunks), keys))
+    return img
+
+
 class Integrator:
     """Base class; subclasses implement Li(scene, flat, rng, ray, active)."""
 
@@ -59,19 +80,27 @@ class Integrator:
         if opts.spp == 0:
             return jnp.zeros((num_pixels, 3), jnp.float32)
         n = num_pixels * opts.spp
-        lane = jnp.arange(n, dtype=jnp.int32)
         # tile-ordered pixels: consecutive lanes -> coherent ray blocks
         pix_order = jnp.asarray(tiled_pixel_order(opts.width, opts.height))
-        idx = pix_order[lane // opts.spp]
-        base = jnp.stack([(idx % opts.width).astype(jnp.float32),
-                          (idx // opts.width).astype(jnp.float32)], axis=-1)
-        rng = RngStream(key, salt=0)
-        samples = (base + rng.next_2d(n)) / jnp.array(
-            [opts.width, opts.height], jnp.float32)
-        ray = sample_primary_ray(flat.sensors[sensor_id], samples)
-        value = self.Li(scene, flat, rng, ray, jnp.ones((n,), bool))
-        value = scrub_nonfinite(value)
-        return accumulate_image(value, idx, num_pixels) / opts.spp
+
+        def run_lanes(lane, key_c):
+            idx = pix_order[lane // opts.spp]
+            base = jnp.stack([(idx % opts.width).astype(jnp.float32),
+                              (idx // opts.width).astype(jnp.float32)],
+                             axis=-1)
+            rng = RngStream(key_c, salt=0)
+            m = lane.shape[0]
+            samples = (base + rng.next_2d(m)) / jnp.array(
+                [opts.width, opts.height], jnp.float32)
+            ray = sample_primary_ray(flat.sensors[sensor_id], samples)
+            value = self.Li(scene, flat, rng, ray, lane < n)
+            value = scrub_nonfinite(value)
+            return accumulate_image(
+                jnp.where((lane < n)[..., None], value, 0.0),
+                jnp.where(lane < n, idx, -1), num_pixels)
+
+        img = scan_lane_chunks(run_lanes, n, num_pixels, key, opts.pass_lanes)
+        return img / opts.spp
 
     # -- primary boundary ------------------------------------------------------
     def render_primary_edges(self, scene: Scene, flat: FlatScene,
@@ -82,22 +111,28 @@ class Integrator:
         if opts.sppe == 0 or sensor.edges is None:
             return jnp.zeros((num_pixels, 3), jnp.float32)
         n = num_pixels * opts.sppe
-        rng = RngStream(key, salt=1)
-        pes = sample_primary_edge(sensor, rng.next_1d(n))
-        valid = pes.idx >= 0
-
         flat_det = jax.tree.map(
             lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
-        delta_L = sg(self.Li(scene, flat_det, rng, pes.ray_n, valid)
-                     - self.Li(scene, flat_det, rng, pes.ray_p, valid))
-        pdf = jnp.where(valid, sg(pes.pdf), 1.0)
-        value = pes.x_dot_n[..., None] * (delta_L / pdf[..., None])
-        value = scrub_nonfinite(value)
-        if opts.sppe > 1:
-            value = value / opts.sppe
-        value = value - sg(value)
-        value = jnp.where(valid[..., None], value, 0.0)
-        return accumulate_image(value, pes.idx, num_pixels)
+
+        def run_lanes(lane, key_c):
+            rng = RngStream(key_c, salt=1)
+            m = lane.shape[0]
+            pes = sample_primary_edge(sensor, rng.next_1d(m))
+            valid = (pes.idx >= 0) & (lane < n)
+            delta_L = sg(self.Li(scene, flat_det, rng, pes.ray_n, valid)
+                         - self.Li(scene, flat_det, rng, pes.ray_p, valid))
+            pdf = jnp.where(valid, sg(pes.pdf), 1.0)
+            value = pes.x_dot_n[..., None] * (delta_L / pdf[..., None])
+            value = scrub_nonfinite(value)
+            if opts.sppe > 1:
+                value = value / opts.sppe
+            value = value - sg(value)
+            value = jnp.where(valid[..., None], value, 0.0)
+            return accumulate_image(value, jnp.where(valid, pes.idx, -1),
+                                    num_pixels)
+
+        return scan_lane_chunks(run_lanes, n, num_pixels, key,
+                                opts.pass_lanes)
 
     # -- secondary boundary: overridden by integrators that support it ---------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,

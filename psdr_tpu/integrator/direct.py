@@ -154,24 +154,33 @@ class DirectIntegrator(Integrator):
         opts = scene.opts
         num_pixels = opts.num_pixels
         n = num_pixels * opts.sppse
-        rng = RngStream(key, salt=2)
-        sample3 = rng.next_3d(n)
-
         warp = self.warpper.get(sensor_id)
-        if warp is not None:
-            sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
-        else:
-            pdf0 = jnp.ones((n,), jnp.float32)
 
-        pix, value = self.eval_secondary_edge(scene, flat, sensor_id, sample3,
-                                              ad=True)
-        value = scrub_nonfinite(value)
-        value = jnp.where((pdf0 > Epsilon)[..., None],
-                          value / jnp.where(pdf0 > Epsilon, pdf0, 1.0)[..., None],
-                          value)
-        if opts.sppse > 1:
-            value = value / opts.sppse
-        return accumulate_image(value, pix, num_pixels)
+        def run_lanes(lane, key_c):
+            rng = RngStream(key_c, salt=2)
+            m = lane.shape[0]
+            sample3 = rng.next_3d(m)
+            if warp is not None:
+                sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
+            else:
+                pdf0 = jnp.ones((m,), jnp.float32)
+
+            pix, value = self.eval_secondary_edge(scene, flat, sensor_id,
+                                                  sample3, ad=True)
+            value = scrub_nonfinite(value)
+            value = jnp.where(
+                (pdf0 > Epsilon)[..., None],
+                value / jnp.where(pdf0 > Epsilon, pdf0, 1.0)[..., None],
+                value)
+            if opts.sppse > 1:
+                value = value / opts.sppse
+            return accumulate_image(
+                jnp.where((lane < n)[..., None], value, 0.0),
+                jnp.where(lane < n, pix, -1), num_pixels)
+
+        from .base import scan_lane_chunks
+        return scan_lane_chunks(run_lanes, n, num_pixels, key,
+                                opts.pass_lanes)
 
     def eval_secondary_edge(self, scene: Scene, flat: FlatScene,
                             sensor_id: int, sample3: jax.Array, ad: bool):

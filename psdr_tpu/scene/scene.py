@@ -184,6 +184,9 @@ class Scene:
     def build(self, params: dict) -> FlatScene:
         assert self.meshes, "Missing meshes!"
         assert self.sensors, "Missing sensor!"
+        # host scene objects keep leaves as numpy (no eager dispatches);
+        # promote here so traced indexing works uniformly
+        params = jax.tree.map(jnp.asarray, params)
         with_edges = self.opts.sppse > 0 or self.opts.sppe > 0
 
         # Per-mesh world geometry (mesh.cpp:215-274)

@@ -35,8 +35,8 @@ class PerspectiveCamera:
         self.fov_x = float(fov_x)
         self.near_clip = float(near)
         self.far_clip = float(far)
-        self.to_world = (jnp.eye(4, dtype=jnp.float32) if to_world is None
-                         else jnp.asarray(to_world, jnp.float32))
+        self.to_world = (np.eye(4, dtype=np.float32) if to_world is None
+                         else np.asarray(to_world, np.float32))
 
     def params(self) -> dict:
         return {"to_world": self.to_world}
@@ -45,7 +45,7 @@ class PerspectiveCamera:
         self.to_world = p["to_world"]
 
     def set_transform(self, mat) -> None:
-        self.to_world = jnp.asarray(mat, jnp.float32)
+        self.to_world = np.asarray(mat, np.float32)
 
     def __repr__(self):
         return f"PerspectiveCamera[fov={self.fov_x}]"

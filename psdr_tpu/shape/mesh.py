@@ -136,13 +136,15 @@ class Mesh:
         self.edge_indices = (build_edges(self.faces) if enable_edges
                              else np.zeros((0, 5), np.int32))
 
-        # differentiable leaves (initial values)
-        self.vertex_positions = jnp.asarray(self.vertices)
-        self.to_world = jnp.eye(4, dtype=jnp.float32)
+        # differentiable leaves (initial values); kept as host numpy until
+        # they cross a jit boundary (eager device_put costs seconds through
+        # a remote-TPU tunnel)
+        self.vertex_positions = self.vertices
+        self.to_world = np.eye(4, dtype=np.float32)
         # static outer factors, for append_transform-style composition
         # (mesh.h:19-35: to_world = left * raw * right)
-        self.to_world_left = jnp.eye(4, dtype=jnp.float32)
-        self.to_world_right = jnp.eye(4, dtype=jnp.float32)
+        self.to_world_left = np.eye(4, dtype=np.float32)
+        self.to_world_right = np.eye(4, dtype=np.float32)
 
     # -- parameter-pytree plumbing ------------------------------------------
     def params(self) -> dict:
@@ -154,10 +156,10 @@ class Mesh:
         self.to_world = p["to_world"]
 
     def set_transform(self, mat) -> None:
-        self.to_world = jnp.asarray(mat, jnp.float32)
+        self.to_world = np.asarray(mat, np.float32)
 
     def append_transform(self, mat) -> None:
-        self.to_world_left = jnp.asarray(mat, jnp.float32) @ self.to_world_left
+        self.to_world_left = np.asarray(mat, np.float32) @ self.to_world_left
 
     def world_positions(self, params: dict) -> jax.Array:
         m = self.to_world_left @ params["to_world"] @ self.to_world_right

@@ -62,3 +62,23 @@ def test_render_reproducible(sphere_scene):
     a = np.asarray(integ.renderC(sphere_scene, 0, seed=7))
     b = np.asarray(integ.renderC(sphere_scene, 0, seed=7))
     assert np.array_equal(a, b)
+
+
+def test_pass_chunking_matches_unchunked():
+    """Bounded-memory lax.scan passes must not change the estimator
+    structure: with the same key the chunked render is a valid MC estimate
+    whose mean matches the unchunked one."""
+    import dataclasses
+    from psdr_tpu import DirectIntegrator
+
+    sc1 = cbox_scene(width=16, height=16, spp=8)
+    sc2 = cbox_scene(width=16, height=16, spp=8)
+    sc2.opts = dataclasses.replace(sc2.opts, pass_lanes=256)  # force 8 chunks
+
+    integ = DirectIntegrator(1, 1)
+    img1 = np.mean([np.asarray(integ.renderC(sc1, seed=s)) for s in range(6)],
+                   axis=0)
+    img2 = np.mean([np.asarray(integ.renderC(sc2, seed=s)) for s in range(6)],
+                   axis=0)
+    assert np.all(np.isfinite(img2))
+    assert abs(img1.mean() - img2.mean()) < 0.05 * img1.mean()
