@@ -47,3 +47,15 @@ def square_to_uniform_triangle(sample: jax.Array) -> jax.Array:
 
 def square_to_uniform_triangle_pdf(p: jax.Array) -> jax.Array:
     return jnp.full(p.shape[:-1], 2.0, p.dtype)
+
+
+def square_to_uniform_sphere(sample: jax.Array) -> jax.Array:
+    """Uniform direction on S^2 from (..., 2) in [0,1)^2."""
+    z = 1.0 - 2.0 * sample[..., 1]
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * sample[..., 0]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def square_to_uniform_sphere_pdf() -> float:
+    return 1.0 / (4.0 * jnp.pi)

@@ -130,13 +130,163 @@ class PathTracer(Integrator):
 
         return result
 
-    # path-space boundary terms: the direct (one-bounce) boundary estimator
-    # applies unchanged to the last camera-visible discontinuity; indirect
-    # boundary segments are future work (SURVEY.md north-star).
+    # -- boundary terms ------------------------------------------------------
+    # The *direct* boundary estimator (emitter-sampled far side) applies
+    # unchanged. The *indirect* estimator below goes beyond the reference
+    # (its successors add it): it samples a direction at the edge instead of
+    # an emitter point, finds the far-side surface, and uses a detached
+    # multi-bounce radiance estimate excluding that surface's own emission
+    # (which the direct estimator already covers) — capturing visibility
+    # discontinuities of indirectly-lit shadows.
     def render_secondary_edges(self, scene, flat, sensor_id, key):
         helper = DirectIntegrator(1, 1)
         helper.warpper = self.warpper
-        return helper.render_secondary_edges(scene, flat, sensor_id, key)
+        img = helper.render_secondary_edges(scene, flat, sensor_id, key)
+        if self.max_depth > 1:
+            img = img + self.render_indirect_edges(scene, flat, sensor_id,
+                                                   jax.random.fold_in(key, 7))
+        return img
+
+    def render_indirect_edges(self, scene: Scene, flat: FlatScene,
+                              sensor_id: int, key: jax.Array) -> jax.Array:
+        from ..core.math import scrub_nonfinite
+        from .base import accumulate_image, scan_lane_chunks
+
+        opts = scene.opts
+        num_pixels = opts.num_pixels
+        n = num_pixels * opts.sppse
+
+        def run_lanes(lane, key_c):
+            rng = RngStream(key_c, salt=3)
+            m = lane.shape[0]
+            sample3 = rng.next_3d(m)
+            pix, value = self.eval_secondary_edge_indirect(
+                scene, flat, sensor_id, sample3, rng)
+            value = scrub_nonfinite(value)
+            if opts.sppse > 1:
+                value = value / opts.sppse
+            return accumulate_image(
+                jnp.where((lane < n)[..., None], value, 0.0),
+                jnp.where(lane < n, pix, -1), num_pixels)
+
+        return scan_lane_chunks(run_lanes, n, num_pixels, key,
+                                opts.pass_lanes)
+
+    def eval_secondary_edge_indirect(self, scene: Scene, flat: FlatScene,
+                                     sensor_id: int, sample3: jax.Array,
+                                     rng: RngStream):
+        """Direction-sampled boundary segment with a path-traced far side.
+
+        Structure mirrors DirectIntegrator.eval_secondary_edge
+        (direct.cpp:224-316) with three changes: (1) the far endpoint is the
+        first hit along a uniformly-sampled sphere direction (pdf already in
+        solid angle — the reference converts its emitter-area pdf to the
+        same measure); (2) its radiance is a detached (max_depth-1)-bounce
+        estimate with the far surface's own emission excluded; (3) no
+        emitter-orientation validity test.
+        """
+        from ..bsdf import eval_bsdf
+        from ..core import warp as warp_mod
+        from ..core.constants import Epsilon, ShadowEpsilon
+        from ..core.math import (bilinear, cross, norm, normalize,
+                                 ray_intersect_triangle)
+        from ..core.distribution import discrete_sample_reuse
+        from ..core.math import sign_eps
+        from ..core.constants import EdgeEpsilon
+        from ..sensor.perspective import sample_direct, sample_primary_ray
+        from ..shape.mesh import SecondaryEdgeInfo
+
+        kinds = scene.bsdf_kinds
+        sensor = flat.sensors[sensor_id]
+        flat_det = jax.tree.map(
+            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+
+        # edge point (differentiable in p0), scene.cpp:456-468 pattern
+        edge_idx, pdf0, s1 = discrete_sample_reuse(flat.sec_distrb,
+                                                   sample3[..., 0])
+        info: SecondaryEdgeInfo = jax.tree.map(lambda a: a[edge_idx],
+                                               flat.sec_edge)
+        ok = info.valid & (flat.sec_distrb.pmf[edge_idx] > 0.0)
+        p0 = info.p0 + info.e1 * s1[..., None]
+        edge = normalize(sg(info.e1))
+        edge2 = sg(info.p2) - sg(info.p0)
+        pdf0 = pdf0 / jnp.maximum(norm(sg(info.e1)), 1e-20)
+
+        # far-side direction (solid-angle measure)
+        _dir = warp_mod.square_to_uniform_sphere(sample3[..., 1:3])
+        pdf = pdf0 / (4.0 * jnp.pi)
+
+        # silhouette validity wrt the sampled direction
+        sgn0 = sign_eps(dot(sg(info.n0), _dir), EdgeEpsilon)
+        sgn1 = sign_eps(dot(sg(info.n1), _dir), EdgeEpsilon)
+        boundary = sg(info.is_boundary)
+        valid = ok & jnp.where(boundary, sgn0 != 0, sgn0 * sgn1 < 0)
+
+        _p0 = sg(p0)
+        # far side: first hit is the moving-shadow caster's background
+        its2_full, tri_info = ray_intersect(flat, Ray(_p0, _dir), valid,
+                                            path_space=True,
+                                            want_tri_info=True)
+        _its2 = jax.tree.map(sg, its2_full)
+        valid = valid & _its2.valid
+        _p2 = _its2.p
+        far_n = _its2.n
+
+        # detached reflected-only radiance arriving at the edge from _dir
+        helper = PathTracer(max_depth=max(1, self.max_depth - 1),
+                            hide_emitters=True)
+        L = sg(helper.Li(scene, flat_det, rng, Ray(_p0, _dir), valid))
+
+        # camera side (identical to the direct estimator from here on)
+        _its1 = jax.tree.map(sg, ray_intersect(flat, Ray(_p0, -_dir), valid,
+                                               path_space=True))
+        valid = valid & _its1.valid
+        _p1 = _its1.p
+
+        sds = sample_direct(sensor, _p1)
+        valid = valid & sds.valid
+
+        camera_ray = sample_primary_ray(sensor, sds.q)
+        its1 = ray_intersect(flat, camera_ray, valid, path_space=False)
+        valid = valid & its1.valid & (norm(sg(its1.p) - _p1) < ShadowEpsilon)
+
+        dist = norm(_p2 - _p1)
+        cos2 = jnp.abs(dot(far_n, -_dir))
+        e = cross(edge, _dir)
+        sinphi = norm(e)
+        proj = normalize(cross(e, far_n))
+        sinphi2 = norm(cross(_dir, proj))
+        base_v = (_mdiv(_its1.t, dist, valid)
+                  * _mdiv(sinphi, sinphi2, valid) * cos2)
+        valid = valid & (sinphi > Epsilon) & (sinphi2 > Epsilon)
+
+        bsdfs_det = jax.tree.map(sg, flat.bsdfs)
+        d0 = -sg(camera_ray.d)
+        d0_local = to_local(_its1.sh_frame, d0)
+        bsdf_val = eval_bsdf(kinds, bsdfs_det, _its1, d0_local, valid)
+        corr_num = _its1.wi[..., 2] * dot(d0, _its1.n)
+        corr_den = d0_local[..., 2] * dot(_dir, _its1.n)
+        correction = jnp.abs(_mdiv(corr_num, corr_den,
+                                   valid & (corr_den != 0.0)))
+        bsdf_val = bsdf_val * correction[..., None]
+
+        value0 = bsdf_val * L * (base_v * sds.sensor_val)[..., None]
+        value0 = _mdiv(value0, pdf, valid & (pdf > 0.0))
+        value0 = jnp.where(valid[..., None], value0, 0.0)
+
+        nrm = normalize(cross(far_n, proj))
+        value0 = value0 * (jnp.sign(dot(e, edge2))
+                           * jnp.sign(dot(e, nrm)))[..., None]
+
+        v0, e1, e2 = tri_info.p0, tri_info.e1, tri_info.e2
+        sh_dir = normalize(p0 - its1.p)
+        uv, _ = ray_intersect_triangle(v0, e1, e2, its1.p, sh_dir)
+        u2 = bilinear(sg(v0), sg(e1), sg(e2), uv)
+
+        result = sg(value0) * dot(sg(nrm), u2)[..., None]
+        result = jnp.where(valid[..., None], result, 0.0)
+        pix = jnp.where(valid, sds.pixel_idx, -1)
+        return pix, result - sg(result)
 
     def preprocess_secondary_edges(self, scene, sensor_id, reso,
                                    nrounds: int = 1, seed: int = 0):
