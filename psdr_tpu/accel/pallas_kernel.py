@@ -1,0 +1,141 @@
+"""Pallas TPU intersection kernel: dense Moller-Trumbore over streamed
+triangle chunks with an in-VMEM closest-hit accumulator.
+
+The XLA backends (bruteforce/culled) already implement the algorithm; this
+kernel owns the schedule explicitly: the ray block's components and the
+running (t, id, u, v) state live in VMEM across the whole triangle stream
+(grid accumulation pattern — the output BlockSpec ignores the triangle-chunk
+grid axis, so Pallas keeps the block resident), and each grid step DMAs one
+(9, T) triangle chunk. All compute is (T, R) f32 VPU tiles.
+
+Layouts: rays (8, N) rows [ox oy oz dx dy dz tmax active]; triangles (9, F)
+rows [p0 e1 e2] xyz; out (8, N) rows [t, id(bitcast), u, v, 0...].
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.constants import RayEpsilon
+from .bruteforce import HitRecord, _ceil_to, _pad_to
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _kernel(rays_ref, tris_ref, out_ref, *, n_tris, tri_block):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0, :] = rays_ref[6, :]                      # t = tmax
+        out_ref[1:2, :] = pltpu.bitcast(
+            jnp.full_like(rays_ref[0:1, :], -1, jnp.int32), jnp.float32)
+        out_ref[2, :] = jnp.zeros_like(rays_ref[0, :])
+        out_ref[3, :] = jnp.zeros_like(rays_ref[0, :])
+
+    # ray components as (1, R); triangle components as (T, 1)
+    ox, oy, oz = (rays_ref[k:k + 1, :] for k in range(3))
+    dx, dy, dz = (rays_ref[k:k + 1, :] for k in range(3, 6))
+    active = rays_ref[7:8, :] > 0.0
+
+    tri = [tris_ref[k, :].reshape(tri_block, 1) for k in range(9)]
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    sx = ox - p0x
+    sy = oy - p0y
+    sz = oz - p0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+    t_best = out_ref[0:1, :]
+    tid = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + j * tri_block
+    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RayEpsilon)
+          & (t < t_best) & (tid < n_tris) & active)
+    t_m = jnp.where(ok, t, float("inf"))
+    row = jnp.argmin(t_m, axis=0)                           # (R,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+    pick = row[None, :] == jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
+    t_c = jnp.min(t_m, axis=0)
+    closer = t_c < t_best[0, :]
+    u_c = jnp.sum(jnp.where(pick, u, 0.0), axis=0)
+    v_c = jnp.sum(jnp.where(pick, v, 0.0), axis=0)
+    del cols
+
+    out_ref[0, :] = jnp.where(closer, t_c, out_ref[0, :])
+    ids = pltpu.bitcast(out_ref[1:2, :], jnp.int32)
+    new_ids = jnp.where(closer[None, :],
+                        row[None, :].astype(jnp.int32) + j * tri_block, ids)
+    out_ref[1:2, :] = pltpu.bitcast(new_ids, jnp.float32)
+    out_ref[2, :] = jnp.where(closer, u_c, out_ref[2, :])
+    out_ref[3, :] = jnp.where(closer, v_c, out_ref[3, :])
+
+
+def ray_intersect_pallas(p0: jax.Array, e1: jax.Array, e2: jax.Array,
+                         ray_o: jax.Array, ray_d: jax.Array,
+                         active: jax.Array | None = None,
+                         tmax: jax.Array | None = None,
+                         ray_block: int = 1024,
+                         tri_block: int = 256,
+                         interpret: bool = False) -> HitRecord:
+    """Brute-force closest hit as a Pallas kernel. Same contract as
+    ray_intersect_brute (detached, global tri ids)."""
+    sg = jax.lax.stop_gradient
+    p0, e1, e2, ray_o, ray_d = map(sg, (p0, e1, e2, ray_o, ray_d))
+    n_rays = ray_o.shape[0]
+    n_tris = p0.shape[0]
+
+    if active is None:
+        active = jnp.ones((n_rays,), bool)
+    if tmax is None:
+        tmax = jnp.full((n_rays,), _INF)
+    tmax = jnp.broadcast_to(sg(tmax), (n_rays,))
+
+    rb = min(ray_block, max(128, n_rays))
+    r_pad = _ceil_to(n_rays, rb)
+    tb = min(tri_block, max(8, n_tris))
+    f_pad = _ceil_to(n_tris, tb)
+
+    rays = jnp.stack([
+        _pad_to(ray_o[:, 0], r_pad), _pad_to(ray_o[:, 1], r_pad),
+        _pad_to(ray_o[:, 2], r_pad), _pad_to(ray_d[:, 0], r_pad),
+        _pad_to(ray_d[:, 1], r_pad), _pad_to(ray_d[:, 2], r_pad),
+        _pad_to(tmax, r_pad, value=0.0),
+        _pad_to(sg(active).astype(jnp.float32), r_pad),
+    ])                                                      # (8, r_pad)
+    tris = jnp.stack([
+        _pad_to(arr[:, c], f_pad) for arr in (p0, e1, e2) for c in range(3)
+    ])                                                      # (9, f_pad)
+
+    grid = (r_pad // rb, f_pad // tb)
+    out = pl.pallas_call(
+        partial(_kernel, n_tris=n_tris, tri_block=tb),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, rb), lambda i, j: (0, i)),
+            pl.BlockSpec((9, tb), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((8, rb), lambda i, j: (0, i)),
+        interpret=interpret,
+    )(rays, tris)
+
+    t = out[0, :n_rays]
+    tri_id = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
+    uv = jnp.stack([out[2, :n_rays], out[3, :n_rays]], axis=-1)
+    valid = tri_id >= 0
+    return HitRecord(valid=valid, tri_id=tri_id, uv=uv,
+                     t=jnp.where(valid, t, _INF))

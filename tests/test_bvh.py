@@ -146,3 +146,20 @@ def test_scene_render_same_with_culled():
     img1 = np.asarray(integ.renderC(sc1, seed=5))
     img2 = np.asarray(integ.renderC(sc2, seed=5))
     np.testing.assert_allclose(img1, img2, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_matches_brute_interpret():
+    """Pallas intersection kernel (interpret mode) must exactly reproduce
+    the XLA brute-force backend."""
+    from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas
+
+    p0, e1, e2 = _random_soup(700, seed=7)
+    o, d = _random_rays(600, seed=8)
+    hb = ray_intersect_brute(jnp.asarray(p0), jnp.asarray(e1),
+                             jnp.asarray(e2), o, d)
+    hp = ray_intersect_pallas(jnp.asarray(p0), jnp.asarray(e1),
+                              jnp.asarray(e2), o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hp.valid))
+    same = np.asarray(hb.tri_id) == np.asarray(hp.tri_id)
+    tie = np.isclose(np.asarray(hb.t), np.asarray(hp.t), rtol=1e-5)
+    assert np.all(same | tie)
