@@ -139,3 +139,181 @@ def ray_intersect_pallas(p0: jax.Array, e1: jax.Array, e2: jax.Array,
     valid = tri_id >= 0
     return HitRecord(valid=valid, tri_id=tri_id, uv=uv,
                      t=jnp.where(valid, t, _INF))
+
+
+def _culled_kernel(count_ref, occ_ref, rays_ref, tris_hbm,
+                   out_ref, scratch, sems, *, tri_block, n_blocks):
+    """Grid: (n_ray_blocks,). Scalar-prefetch: per-ray-block occupied
+    tri-block count + id list. Streams only occupied (16, T) triangle rows
+    (9 components + validity + pad, sublane-aligned for DMA) from HBM with
+    double buffering; dense (T, R) MT tiles in VMEM."""
+    i = pl.program_id(0)
+    T = tri_block
+
+    out_ref[0, :] = rays_ref[6, :]                      # t = tmax
+    out_ref[1:2, :] = pltpu.bitcast(
+        jnp.full_like(rays_ref[0:1, :], -1, jnp.int32), jnp.float32)
+    out_ref[2, :] = jnp.zeros_like(rays_ref[0, :])
+    out_ref[3, :] = jnp.zeros_like(rays_ref[0, :])
+
+    count = count_ref[i]
+
+    def dma(slot, j):
+        b = occ_ref[i, j]
+        return pltpu.make_async_copy(tris_hbm.at[b], scratch.at[slot],
+                                     sems.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        dma(0, 0).start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < count)
+            def _():
+                dma(1 - slot, j + 1).start()
+
+            dma(slot, j).wait()
+
+            ox, oy, oz = (rays_ref[k:k + 1, :] for k in range(3))
+            dx, dy, dz = (rays_ref[k:k + 1, :] for k in range(3, 6))
+            active = rays_ref[7:8, :] > 0.0
+            row = scratch[slot]                        # (16, T)
+            tri = [row[k, :].reshape(T, 1) for k in range(9)]
+            p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
+
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+            sx = ox - p0x
+            sy = oy - p0y
+            sz = oz - p0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+            t_best = out_ref[0:1, :]
+            tvalid = row[9, :].reshape(T, 1) > 0.0
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t > RayEpsilon) & (t < t_best) & tvalid & active)
+            t_m = jnp.where(ok, t, float("inf"))
+            rsel = jnp.argmin(t_m, axis=0)
+            pick = rsel[None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, t_m.shape, 0)
+            t_c = jnp.min(t_m, axis=0)
+            closer = t_c < t_best[0, :]
+            u_c = jnp.sum(jnp.where(pick, u, 0.0), axis=0)
+            v_c = jnp.sum(jnp.where(pick, v, 0.0), axis=0)
+
+            b = occ_ref[i, j]
+            out_ref[0, :] = jnp.where(closer, t_c, out_ref[0, :])
+            ids = pltpu.bitcast(out_ref[1:2, :], jnp.int32)
+            new_ids = jnp.where(closer[None, :],
+                                rsel[None, :].astype(jnp.int32) + b * T, ids)
+            out_ref[1:2, :] = pltpu.bitcast(new_ids, jnp.float32)
+            out_ref[2, :] = jnp.where(closer, u_c, out_ref[2, :])
+            out_ref[3, :] = jnp.where(closer, v_c, out_ref[3, :])
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+
+def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
+                                active: jax.Array | None = None,
+                                tmax: jax.Array | None = None,
+                                ray_block: int = 1024,
+                                tri_block: int = 256,
+                                interpret: bool = False) -> HitRecord:
+    """Block-culled Pallas intersection: XLA computes the (R-block x
+    tri-block) slab cull and compacts occupied block ids; the Pallas kernel
+    streams only those rows. Same contract as ray_intersect_culled."""
+    sg = jax.lax.stop_gradient
+    ray_o, ray_d = sg(ray_o), sg(ray_d)
+    n_rays = ray_o.shape[0]
+    P, L = bvh.num_leaves, bvh.leaf_size
+
+    n_tris_padded = P * L
+    T = min(tri_block, n_tris_padded)
+    n_blocks = max(1, n_tris_padded // T)
+    blocks = bvh.nodes[n_blocks:2 * n_blocks]
+    lpb = P // n_blocks
+    tri_rows = (bvh.leaf_tris.reshape(n_blocks, lpb, 9, L)
+                .transpose(0, 2, 1, 3).reshape(n_blocks, 9, T))
+    valid_rows = bvh.tri_valid.reshape(n_blocks, 1, T).astype(jnp.float32)
+    # 16 sublane-aligned rows per block: 9 components + validity + zero pad
+    tri_rows = jnp.concatenate(
+        [tri_rows, valid_rows,
+         jnp.zeros((n_blocks, 6, T), jnp.float32)], axis=1)
+    block_mask = bvh.node_mask[n_blocks:2 * n_blocks]
+
+    if active is None:
+        active = jnp.ones((n_rays,), bool)
+    else:
+        active = sg(active)
+    if tmax is None:
+        tmax = jnp.full((n_rays,), _INF)
+    tmax = jnp.broadcast_to(sg(tmax), (n_rays,))
+
+    rb = min(ray_block, max(128, n_rays))
+    r_pad = _ceil_to(n_rays, rb)
+    n_rblocks = r_pad // rb
+
+    rays = jnp.stack([
+        _pad_to(ray_o[:, 0], r_pad), _pad_to(ray_o[:, 1], r_pad),
+        _pad_to(ray_o[:, 2], r_pad), _pad_to(ray_d[:, 0], r_pad),
+        _pad_to(ray_d[:, 1], r_pad), _pad_to(ray_d[:, 2], r_pad),
+        _pad_to(tmax, r_pad, value=0.0),
+        _pad_to(active.astype(jnp.float32), r_pad),
+    ])                                                  # (8, r_pad)
+
+    # XLA-side cull: (n_rblocks, B) occupancy -> compacted id lists
+    o_b = rays[:3].reshape(3, n_rblocks, rb)
+    d_b = rays[3:6].reshape(3, n_rblocks, rb)
+    act_b = rays[7].reshape(n_rblocks, rb) > 0.0
+    inv = 1.0 / jnp.where(jnp.abs(d_b) < 1e-20,
+                          jnp.where(d_b < 0, -1e-20, 1e-20), d_b)
+    tn = jnp.full((n_rblocks, rb, n_blocks), RayEpsilon)
+    tf = jnp.broadcast_to(rays[6].reshape(n_rblocks, rb, 1),
+                          (n_rblocks, rb, n_blocks))
+    for c in range(3):
+        t0 = (blocks[None, None, :, c] - o_b[c][..., None]) * inv[c][..., None]
+        t1 = (blocks[None, None, :, c + 3] - o_b[c][..., None]) * inv[c][..., None]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    occ_mask = (jnp.any((tn <= tf) & act_b[..., None], axis=1)
+                & block_mask[None, :])                  # (n_rblocks, B)
+    order = jnp.argsort(~occ_mask, axis=1).astype(jnp.int32)
+    counts = jnp.sum(occ_mask, axis=1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rblocks,),
+        in_specs=[
+            pl.BlockSpec((8, rb), lambda i, *_: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, rb), lambda i, *_: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_culled_kernel, tri_block=T, n_blocks=n_blocks),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, order, rays, tri_rows)
+
+    t = out[0, :n_rays]
+    slot = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
+    uv = jnp.stack([out[2, :n_rays], out[3, :n_rays]], axis=-1)
+    tri_id = jnp.where(slot >= 0, bvh.perm[jnp.maximum(slot, 0)], -1)
+    return HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv,
+                     t=jnp.where(tri_id >= 0, t, _INF))

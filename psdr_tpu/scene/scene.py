@@ -153,7 +153,7 @@ class Scene:
 
     def _use_bvh(self) -> bool:
         total = sum(m.num_faces for m in self.meshes)
-        return (self.accel_mode in ("bvh", "culled")
+        return (self.accel_mode in ("bvh", "culled", "pallas")
                 or (self.accel_mode == "auto"
                     and total >= self.accel_min_faces))
 
@@ -326,7 +326,8 @@ class Scene:
         self.face_offset = face_offset
         return FlatScene(
             accel=accel,
-            accel_kind="bvh" if self.accel_mode == "bvh" else "culled",
+            accel_kind=(self.accel_mode
+                        if self.accel_mode in ("bvh", "pallas") else "culled"),
             tri=tri,
             uv0=jnp.concatenate(uv0_l), uv1=jnp.concatenate(uv1_l),
             uv2=jnp.concatenate(uv2_l),
@@ -364,9 +365,14 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
                   path_space: bool = False, want_tri_info: bool = False):
     """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
     if flat.accel is not None:
-        intersect = (ray_intersect_bvh if flat.accel_kind == "bvh"
-                     else ray_intersect_culled)
-        hit = intersect(flat.accel, ray.o, ray.d, active)
+        if flat.accel_kind == "bvh":
+            hit = ray_intersect_bvh(flat.accel, ray.o, ray.d, active)
+        elif flat.accel_kind == "pallas":
+            from ..accel.pallas_kernel import ray_intersect_pallas_culled
+            hit = ray_intersect_pallas_culled(flat.accel, ray.o, ray.d,
+                                              active)
+        else:
+            hit = ray_intersect_culled(flat.accel, ray.o, ray.d, active)
     else:
         hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
                                   ray.o, ray.d, active)

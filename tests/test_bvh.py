@@ -163,3 +163,20 @@ def test_pallas_kernel_matches_brute_interpret():
     same = np.asarray(hb.tri_id) == np.asarray(hp.tri_id)
     tie = np.isclose(np.asarray(hb.t), np.asarray(hp.t), rtol=1e-5)
     assert np.all(same | tie)
+
+
+def test_pallas_culled_matches_brute_interpret():
+    from psdr_tpu.accel.bvh import build_bvh_topology, refit_bvh
+    from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled
+
+    p0, e1, e2 = _random_soup(2048, seed=9)
+    o, d = _random_rays(600, seed=10)
+    topo = build_bvh_topology(p0, e1, e2, leaf_size=4)
+    bvh = refit_bvh(topo, jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2))
+    hb = ray_intersect_brute(jnp.asarray(p0), jnp.asarray(e1),
+                             jnp.asarray(e2), o, d)
+    hp = ray_intersect_pallas_culled(bvh, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hp.valid))
+    same = np.asarray(hb.tri_id) == np.asarray(hp.tri_id)
+    tie = np.isclose(np.asarray(hb.t), np.asarray(hp.t), rtol=1e-5)
+    assert np.all(same | tie)
