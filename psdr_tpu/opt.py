@@ -92,3 +92,21 @@ class Optimizer:
     def write_back(self) -> None:
         """Push optimized parameters into the host scene objects."""
         self.scene.set_params(self.params)
+
+    # -- checkpoint / resume (SURVEY.md §5.4: absent in the reference) ------
+    def save(self, path: str) -> None:
+        """Checkpoint parameters + optimizer state to an .npz file."""
+        import numpy as np
+        leaves, treedef = jax.tree.flatten((self.params, self.state))
+        np.savez(path, n=len(leaves),
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+    def load(self, path: str) -> None:
+        """Resume from a checkpoint written by :meth:`save` (the scene /
+        optimizer configuration must match)."""
+        import numpy as np
+        data = np.load(path)
+        leaves, treedef = jax.tree.flatten((self.params, self.state))
+        assert int(data["n"]) == len(leaves), "checkpoint structure mismatch"
+        new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+        self.params, self.state = jax.tree.unflatten(treedef, new_leaves)

@@ -110,3 +110,57 @@ def test_harness_ad_matches_fd_interior():
     denom = np.abs(fd).max()
     err = np.abs(ad - fd) / denom
     assert np.percentile(err, 95) < 0.15
+
+
+def test_checkpoint_resume(tmp_path):
+    """Optimizer save/load restores params + Adam moments exactly."""
+    sc = sphere_light_scene(width=12, height=12, spp=2)
+    integ = DirectIntegrator(1, 1)
+    render = jax.jit(integ.render_fn(sc, with_boundary=False))
+
+    def loss_fn(params, key):
+        return jnp.mean(render(params, key))
+
+    opt = Optimizer(sc, ["BSDF[id=white].reflectance"], lr=0.05)
+    for i in range(3):
+        opt.step(loss_fn, jax.random.PRNGKey(i))
+    opt.save(str(tmp_path / "ckpt.npz"))
+    ref_next = jax.tree.map(np.asarray, opt.params)
+    opt.step(loss_fn, jax.random.PRNGKey(3))
+    after4 = np.asarray(opt.params["bsdfs"][0]["reflectance"])
+
+    opt2 = Optimizer(sc, ["BSDF[id=white].reflectance"], lr=0.05)
+    opt2.load(str(tmp_path / "ckpt.npz"))
+    np.testing.assert_array_equal(
+        np.asarray(opt2.params["bsdfs"][0]["reflectance"]),
+        ref_next["bsdfs"][0]["reflectance"])
+    opt2.step(loss_fn, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        np.asarray(opt2.params["bsdfs"][0]["reflectance"]), after4,
+        rtol=1e-6)
+
+
+def test_mesh_dump_roundtrip(tmp_path):
+    """Mesh.dump -> load_obj reproduces geometry (mesh.cpp:354-418)."""
+    from psdr_tpu.shape import load_obj, primitives
+    m = primitives.make_icosphere(subdiv=1, radius=1.0)
+    m.dump(str(tmp_path / "m.obj"))
+    m2 = load_obj(str(tmp_path / "m.obj"))
+    np.testing.assert_allclose(m2.vertices, m.vertices, rtol=1e-5)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+def test_multi_sensor_render():
+    """Two sensors: render_fn(sensor_id) selects the right view."""
+    from psdr_tpu import PerspectiveCamera
+    from psdr_tpu.core import transform as xfm
+    sc = sphere_light_scene(width=16, height=16, spp=2)
+    cam2 = PerspectiveCamera(fov_x=40.0)
+    cam2.set_transform(np.asarray(
+        xfm.look_at([6.0, 1.5, 0.0], [0, 0, 0], [0, 1, 0])))
+    sc.add_sensor(cam2)
+    integ = DirectIntegrator(1, 1)
+    img0 = np.asarray(integ.renderC(sc, sensor_id=0, seed=0))
+    img1 = np.asarray(integ.renderC(sc, sensor_id=1, seed=0))
+    assert np.all(np.isfinite(img0)) and np.all(np.isfinite(img1))
+    assert not np.allclose(img0, img1)
