@@ -47,6 +47,7 @@ class PathTracer(Integrator):
         self.max_depth = max_depth
         self.hide_emitters = hide_emitters
         self.warpper: dict[int, object] = {}
+        self.ind_warpper: dict[int, object] = {}
 
     def Li(self, scene: Scene, flat: FlatScene, rng: RngStream, ray: Ray,
            active: jax.Array) -> jax.Array:
@@ -156,13 +157,25 @@ class PathTracer(Integrator):
         num_pixels = opts.num_pixels
         n = num_pixels * opts.sppse
 
+        warp = self.ind_warpper.get(sensor_id)
+
         def run_lanes(lane, key_c):
+            from ..core.constants import Epsilon
+            from ..core.distribution import hypercube_sample_reuse
             rng = RngStream(key_c, salt=3)
             m = lane.shape[0]
             sample3 = rng.next_3d(m)
+            if warp is not None:
+                sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
+            else:
+                pdf0 = jnp.ones((m,), jnp.float32)
             pix, value = self.eval_secondary_edge_indirect(
                 scene, flat, sensor_id, sample3, rng)
             value = scrub_nonfinite(value)
+            value = jnp.where(
+                (pdf0 > Epsilon)[..., None],
+                value / jnp.where(pdf0 > Epsilon, pdf0, 1.0)[..., None],
+                value)
             if opts.sppse > 1:
                 value = value / opts.sppse
             return accumulate_image(
@@ -174,7 +187,7 @@ class PathTracer(Integrator):
 
     def eval_secondary_edge_indirect(self, scene: Scene, flat: FlatScene,
                                      sensor_id: int, sample3: jax.Array,
-                                     rng: RngStream):
+                                     rng: RngStream, ad: bool = True):
         """Direction-sampled boundary segment with a path-traced far side.
 
         Structure mirrors DirectIntegrator.eval_secondary_edge
@@ -274,6 +287,9 @@ class PathTracer(Integrator):
         value0 = _mdiv(value0, pdf, valid & (pdf > 0.0))
         value0 = jnp.where(valid[..., None], value0, 0.0)
 
+        if not ad:  # guiding variant (direct.cpp:312-315 analog)
+            return jnp.full(valid.shape, -1, jnp.int32), jnp.abs(value0)
+
         nrm = normalize(cross(far_n, proj))
         value0 = value0 * (jnp.sign(dot(e, edge2))
                            * jnp.sign(dot(e, nrm)))[..., None]
@@ -295,3 +311,41 @@ class PathTracer(Integrator):
         helper.preprocess_secondary_edges(scene, sensor_id, reso, nrounds,
                                           seed)
         self.warpper = helper.warpper
+
+    def preprocess_indirect_edges(self, scene, sensor_id, reso,
+                                  nrounds: int = 1, seed: int = 0):
+        """Guiding table for the indirect boundary term: Monte-Carlo cell
+        masses of |value| over the (edge, direction) cube."""
+        from ..core.distribution import hypercube_init, hypercube_set_mass
+        from ..core.math import scrub_nonfinite
+        assert nrounds > 0
+        reso = tuple(int(r) for r in reso)
+        hc = hypercube_init(reso[:3])
+        num_cells = hc.num_cells
+        spp_cell = reso[3]
+        n = num_cells * spp_cell
+
+        flat = jax.tree.map(
+            lambda x: sg(x) if isinstance(x, jax.Array) else x, scene.flat)
+        idx = jnp.arange(n, dtype=jnp.int32) // spp_cell
+        base = hc.cells[idx].astype(jnp.float32)
+
+        def one_round(key):
+            rng = RngStream(key)
+            sample3 = (base + rng.next_3d(n)) * hc.unit
+            _, value0 = self.eval_secondary_edge_indirect(
+                scene, flat, sensor_id, sample3, rng, ad=False)
+            value0 = scrub_nonfinite(value0)
+            if spp_cell > 1:
+                value0 = value0 / spp_cell
+            return jax.ops.segment_sum(jnp.max(value0, axis=-1), idx,
+                                       num_segments=num_cells)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), nrounds)
+        mass = jnp.zeros((num_cells,), jnp.float32)
+        f = jax.jit(one_round)
+        for k in keys:
+            mass = mass + f(k)
+        if nrounds > 1:
+            mass = mass / nrounds
+        self.ind_warpper[sensor_id] = hypercube_set_mass(hc, mass)

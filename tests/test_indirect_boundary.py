@@ -129,3 +129,13 @@ def test_indirect_boundary_matches_fd():
     assert np.sign(ad_full) == np.sign(fd)
     assert abs(ad_full - fd) < abs(ad_direct_only - fd)
     assert abs(ad_full - fd) < 0.5 * abs(fd) + 1e-4
+
+
+def test_indirect_guiding_builds_and_renders():
+    scene = _gi_shadow_scene(width=12, height=12, spp=4, sppse=8)
+    integ = PathTracer(max_depth=2)
+    integ.preprocess_indirect_edges(scene, 0, (4, 4, 4, 2), nrounds=1)
+    hc = integ.ind_warpper[0]
+    assert float(jnp.sum(hc.distrb.pmf)) > 0.0  # some cells carry mass
+    img = integ.renderD(scene, seed=0)
+    assert np.all(np.isfinite(np.asarray(img)))
