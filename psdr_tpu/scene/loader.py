@@ -256,6 +256,11 @@ def load_integrator(scene: Scene):
         return DirectIntegrator(int(props.get("bsdf_samples", 1)),
                                 int(props.get("emitter_samples",
                                               props.get("light_samples", 1))))
+    if kind in ("path", "pathtracer"):
+        from ..integrator import PathTracer
+        return PathTracer(max_depth=int(props.get("max_depth", 3)),
+                          hide_emitters=bool(props.get("hide_emitters",
+                                                       False)))
     if kind == "field":
         return FieldExtractionIntegrator(props.get("field", "silhouette"))
     raise ValueError(f"Unsupported integrator '{kind}'")
