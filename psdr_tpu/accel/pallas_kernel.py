@@ -141,11 +141,13 @@ def ray_intersect_pallas(p0: jax.Array, e1: jax.Array, e2: jax.Array,
                      t=jnp.where(valid, t, _INF))
 
 
-def _culled_kernel(count_ref, occ_ref, rays_ref, tris_hbm,
-                   out_ref, scratch, sems, *, tri_block, n_blocks):
+def _culled_kernel(count_ref, rays_ref, occ_hbm, tris_hbm,
+                   out_ref, occ_smem, scratch, osem, sems, *,
+                   tri_block, n_blocks, occ_cols):
     """Grid: (n_ray_blocks,). Scalar-prefetch: per-ray-block occupied
-    tri-block count + id list. Streams only occupied (16, T) triangle rows
-    (9 components + validity + pad, sublane-aligned for DMA) from HBM with
+    count. The occupied id list lives in HBM (too large for SMEM prefetch)
+    and is DMA'd per ray block into SMEM scratch; triangle rows stream as
+    (16, T) blocks (9 components + validity + pad, sublane-aligned) with
     double buffering; dense (T, R) MT tiles in VMEM."""
     i = pl.program_id(0)
     T = tri_block
@@ -159,12 +161,15 @@ def _culled_kernel(count_ref, occ_ref, rays_ref, tris_hbm,
     count = count_ref[i]
 
     def dma(slot, j):
-        b = occ_ref[i, j]
+        b = occ_smem[j // occ_cols, j % occ_cols]
         return pltpu.make_async_copy(tris_hbm.at[b], scratch.at[slot],
                                      sems.at[slot])
 
     @pl.when(count > 0)
     def _():
+        occ_dma = pltpu.make_async_copy(occ_hbm.at[i], occ_smem, osem)
+        occ_dma.start()
+        occ_dma.wait()
         dma(0, 0).start()
 
         def body(j, _):
@@ -211,7 +216,7 @@ def _culled_kernel(count_ref, occ_ref, rays_ref, tris_hbm,
             u_c = jnp.sum(jnp.where(pick, u, 0.0), axis=0)
             v_c = jnp.sum(jnp.where(pick, v, 0.0), axis=0)
 
-            b = occ_ref[i, j]
+            b = occ_smem[j // occ_cols, j % occ_cols]
             out_ref[0, :] = jnp.where(closer, t_c, out_ref[0, :])
             ids = pltpu.bitcast(out_ref[1:2, :], jnp.int32)
             new_ids = jnp.where(closer[None, :],
@@ -290,26 +295,35 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
                 & block_mask[None, :])                  # (n_rblocks, B)
     order = jnp.argsort(~occ_mask, axis=1).astype(jnp.int32)
     counts = jnp.sum(occ_mask, axis=1).astype(jnp.int32)
+    # pad id rows to (8, 128k) tiles so the per-row HBM->SMEM DMA is aligned
+    b_pad = max(1024, -(-n_blocks // 1024) * 1024)
+    occ_cols = b_pad // 8
+    order = jnp.pad(order, ((0, 0), (0, b_pad - n_blocks))) \
+        .reshape(n_rblocks, 8, occ_cols)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_rblocks,),
         in_specs=[
             pl.BlockSpec((8, rb), lambda i, *_: (0, i)),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((8, rb), lambda i, *_: (0, i)),
         scratch_shapes=[
+            pltpu.SMEM((8, occ_cols), jnp.int32),
             pltpu.VMEM((2, 16, T), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        partial(_culled_kernel, tri_block=T, n_blocks=n_blocks),
+        partial(_culled_kernel, tri_block=T, n_blocks=n_blocks,
+                occ_cols=occ_cols),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, order, rays, tri_rows)
+    )(counts, rays, order, tri_rows)
 
     t = out[0, :n_rays]
     slot = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)

@@ -324,10 +324,14 @@ class Scene:
             accel = refit_bvh(self._bvh_topo, tri.p0, tri.e1, tri.e2)
 
         self.face_offset = face_offset
+        if self.accel_mode in ("bvh", "pallas", "culled"):
+            accel_kind = self.accel_mode
+        else:  # auto: the Pallas kernel wins on real TPUs; culled elsewhere
+            accel_kind = ("pallas" if jax.default_backend() == "tpu"
+                          else "culled")
         return FlatScene(
             accel=accel,
-            accel_kind=(self.accel_mode
-                        if self.accel_mode in ("bvh", "pallas") else "culled"),
+            accel_kind=accel_kind,
             tri=tri,
             uv0=jnp.concatenate(uv0_l), uv1=jnp.concatenate(uv1_l),
             uv2=jnp.concatenate(uv2_l),
