@@ -52,12 +52,11 @@ def _scaled_opts_scene(scene, n_dev: int):
         if v % n_dev != 0:
             raise ValueError(
                 f"{name}={v} must be divisible by mesh size {n_dev}")
+    import dataclasses
     local = copy.copy(scene)
-    local.opts = type(opts)(width=opts.width, height=opts.height,
-                            spp=opts.spp // n_dev,
-                            sppe=opts.sppe // n_dev,
-                            sppse=opts.sppse // n_dev,
-                            log_level=opts.log_level)
+    local.opts = dataclasses.replace(opts, spp=opts.spp // n_dev,
+                                     sppe=opts.sppe // n_dev,
+                                     sppse=opts.sppse // n_dev)
     return local
 
 
@@ -132,3 +131,18 @@ def make_train_step(integrator, scene, mesh: Mesh, target_image,
 
     opt_state = optimizer.init(scene.params())
     return step, opt_state
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host entry point: initialize jax.distributed so
+    ``device_mesh()`` spans every chip of a multi-host slice. Sample DP and
+    the psum'd gradients then ride ICI within hosts and DCN across them
+    (the shard_map code path is topology-agnostic)."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

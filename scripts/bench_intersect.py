@@ -78,7 +78,7 @@ def main():
         line = f"F={f_real:7d}  brute {n_rays/t_brute/1e6:8.2f} Mray/s"
 
         topo = build_bvh_topology(p0n, e1n, e2n, leaf_size=4)
-        for T, R in ((128, 1024), (256, 2048), (512, 2048)):
+        for T, R in ((256, 1024), (512, 2048)):
             def fused(p0, e1, e2, o, d, topo=topo, T=T, R=R):
                 bvh = refit_bvh(topo, p0, e1, e2)
                 return ray_intersect_culled(bvh, o, d, tri_block=T,
@@ -88,6 +88,17 @@ def main():
             agree = float(np.mean(np.asarray(hb.tri_id) == np.asarray(hv.tri_id)))
             line += (f"   cull(T={T},R={R}) {n_rays/t_c/1e6:8.2f}"
                      f" agree={agree:.4f}")
+
+        from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled
+
+        def fused_pl(p0, e1, e2, o, d, topo=topo):
+            bvh = refit_bvh(topo, p0, e1, e2)
+            return ray_intersect_pallas_culled(bvh, o, d, tri_block=256,
+                                               ray_block=1024)
+
+        t_p, hp = bench(jax.jit(fused_pl), args)
+        agree = float(np.mean(np.asarray(hb.tri_id) == np.asarray(hp.tri_id)))
+        line += f"   pallas {n_rays/t_p/1e6:8.2f} agree={agree:.4f}"
         print(line, flush=True)
 
 
