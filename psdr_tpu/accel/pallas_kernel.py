@@ -232,8 +232,8 @@ def _culled_kernel(count_ref, rays_ref, occ_hbm, tris_hbm,
 def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
                                 active: jax.Array | None = None,
                                 tmax: jax.Array | None = None,
-                                ray_block: int = 1024,
-                                tri_block: int = 256,
+                                ray_block: int = 512,
+                                tri_block: int = 128,
                                 interpret: bool = False) -> HitRecord:
     """Block-culled Pallas intersection: XLA computes the (R-block x
     tri-block) slab cull and compacts occupied block ids; the Pallas kernel
