@@ -6,8 +6,9 @@ The reference (psdr-cuda) publishes no numbers (BASELINE.md), so
 (bench_baseline.json if present, else 1.0).
 
 Configuration mirrors the reference's representative forward config scaled
-to the BASELINE.json target: Cornell-box-style scene, 512x512, spp=64,
-MIS 1 bsdf + 1 light sample (=> 3 traced rays per camera sample).
+to the BASELINE.json target: Cornell-box-style scene with a 20k-triangle
+occluder, 512x512, spp=64, MIS 1 bsdf + 1 light sample (=> 3 traced rays
+per camera sample).
 """
 from __future__ import annotations
 
@@ -30,7 +31,7 @@ def main():
     spp = 64
     bsdf_samples = light_samples = 1
     scene = cbox_scene(width=width, height=height, spp=spp,
-                       occluder_subdiv=3)
+                       occluder_subdiv=5)
     integrator = DirectIntegrator(bsdf_samples, light_samples)
     render = jax.jit(integrator.render_fn(scene, with_boundary=False))
     params = scene.params()

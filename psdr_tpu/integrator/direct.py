@@ -93,7 +93,8 @@ class DirectIntegrator(Integrator):
             active1 = active & bs.valid
 
             ray1 = Ray(its.p, to_world(its.sh_frame, bs.wo))
-            its1 = ray_intersect(flat, ray1, active1, path_space=True)
+            its1 = ray_intersect(flat, ray1, active1, path_space=True,
+                                 sort_rays=True)
             active1 = active1 & its1.valid & its1.is_emitter()
 
             # area-measure conversion with detached G (direct.cpp:83-95)

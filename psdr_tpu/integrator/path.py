@@ -101,7 +101,8 @@ class PathTracer(Integrator):
             active_b = active & bs.valid
 
             ray_b = Ray(its.p, to_world(its.sh_frame, bs.wo))
-            its_b = ray_intersect(flat, ray_b, active_b, path_space=True)
+            its_b = ray_intersect(flat, ray_b, active_b, path_space=True,
+                                 sort_rays=True)
             hit_b = active_b & its_b.valid
 
             wo_b = its_b.p - its.p

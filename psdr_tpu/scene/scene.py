@@ -365,21 +365,51 @@ _BOUND_FACES = [
 
 # -- device-side scene queries (pure functions over FlatScene) ---------------
 
+def _octant_sort(ray: Ray, active: jax.Array, seg: int = 4096):
+    """Stable within-segment reorder by direction octant: keeps the lane
+    order's origin (pixel-tile) coherence while grouping directions, so
+    block-culled backends see tighter frusta for hemisphere-spread bounce
+    rays. Returns (permutation, inverse permutation)."""
+    d = sg(ray.d)
+    n = d.shape[0]
+    s = min(seg, n)
+    if n % s != 0:
+        return None, None
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              + 2 * (d[:, 1] > 0).astype(jnp.int32)
+              + 4 * (d[:, 2] > 0).astype(jnp.int32))
+    keys = octant.reshape(n // s, s)
+    local = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
+    base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
+    perm = (local + base).reshape(n)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
 def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
-                  path_space: bool = False, want_tri_info: bool = False):
+                  path_space: bool = False, want_tri_info: bool = False,
+                  sort_rays: bool = False):
     """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
+    perm = inv = None
+    q_o, q_d, q_act = ray.o, ray.d, active
+    if sort_rays and flat.accel is not None:
+        perm, inv = _octant_sort(ray, active)
+        if perm is not None:
+            q_o, q_d, q_act = sg(ray.o)[perm], sg(ray.d)[perm], active[perm]
     if flat.accel is not None:
         if flat.accel_kind == "bvh":
-            hit = ray_intersect_bvh(flat.accel, ray.o, ray.d, active)
+            hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act)
         elif flat.accel_kind == "pallas":
             from ..accel.pallas_kernel import ray_intersect_pallas_culled
-            hit = ray_intersect_pallas_culled(flat.accel, ray.o, ray.d,
-                                              active)
+            hit = ray_intersect_pallas_culled(flat.accel, q_o, q_d, q_act)
         else:
-            hit = ray_intersect_culled(flat.accel, ray.o, ray.d, active)
+            hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act)
     else:
         hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
                                   ray.o, ray.d, active)
+    if perm is not None:
+        hit = jax.tree.map(lambda a: a[inv], hit)
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
