@@ -117,7 +117,8 @@ class Integrator:
         def run_lanes(lane, key_c):
             rng = RngStream(key_c, salt=1)
             m = lane.shape[0]
-            pes = sample_primary_edge(sensor, rng.next_1d(m))
+            # sorted iid samples group same-edge lanes into coherent blocks
+            pes = sample_primary_edge(sensor, jnp.sort(rng.next_1d(m)))
             valid = (pes.idx >= 0) & (lane < n)
             delta_L = sg(self.Li(scene, flat_det, rng, pes.ray_n, valid)
                          - self.Li(scene, flat_det, rng, pes.ray_p, valid))

@@ -161,6 +161,10 @@ class DirectIntegrator(Integrator):
             rng = RngStream(key_c, salt=2)
             m = lane.shape[0]
             sample3 = rng.next_3d(m)
+            # iid lanes: sorting by the edge-selecting coordinate is
+            # measure-preserving and groups same-edge lanes into coherent
+            # ray blocks (each lane carries its own pixel index)
+            sample3 = sample3[jnp.argsort(sample3[:, 0])]
             if warp is not None:
                 sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
             else:

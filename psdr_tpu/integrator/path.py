@@ -166,6 +166,8 @@ class PathTracer(Integrator):
             rng = RngStream(key_c, salt=3)
             m = lane.shape[0]
             sample3 = rng.next_3d(m)
+            # group same-edge lanes (see direct.py render_secondary_edges)
+            sample3 = sample3[jnp.argsort(sample3[:, 0])]
             if warp is not None:
                 sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
             else:
