@@ -24,8 +24,8 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "out"
     os.makedirs(out, exist_ok=True)
 
-    scene = cbox_scene(width=256, height=256, spp=32, occluder_subdiv=3)
-    img = run_orig(scene, DirectIntegrator(1, 1), npass=4)
+    scene = cbox_scene(width=128, height=128, spp=8, occluder_subdiv=3)
+    img = run_orig(scene, DirectIntegrator(1, 1), npass=2)
     write_exr(os.path.join(out, "cbox.exr"), img)
     print(f"wrote {out}/cbox.exr  mean={img.mean():.4f}")
 

@@ -124,6 +124,17 @@ class Scene:
     def num_sensors(self) -> int:
         return len(self.sensors)
 
+    # -- reference-style loading entry points (psdr.cpp:271-272) -------------
+    @staticmethod
+    def load_file(fname: str, auto_configure: bool = True) -> "Scene":
+        from .loader import load_file as _lf
+        return _lf(fname, auto_configure)
+
+    @staticmethod
+    def load_string(xml: str, base_dir: str = ".") -> "Scene":
+        from .loader import load_string as _ls
+        return _ls(xml, base_dir)
+
     @property
     def envmap_index(self) -> int:
         for i, e in enumerate(self.emitters):
