@@ -12,6 +12,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tests"))
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,12 +14,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tests"))
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
-from psdr_tpu import DirectIntegrator
+from psdr_tpu import DirectIntegrator, RoughConductor
 from psdr_tpu.core.exr import write_exr
 from psdr_tpu.testing import run_ad, run_fd
 from scenes import sphere_light_scene
+
+
+def _metal_scene():
+    """material_roughness needs a roughconductor in the scene."""
+    sc = sphere_light_scene(width=64, height=64, spp=32)
+    sc.bsdfs[0] = RoughConductor(alpha_u=0.2, alpha_v=0.2, bsdf_id="white")
+    sc.param_map["BSDF[id=white]"] = sc.bsdfs[0]
+    return sc
 
 
 def main():
@@ -27,8 +41,12 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "out"
     os.makedirs(out, exist_ok=True)
 
-    # boundary terms on: silhouette gradients need sppe/sppse
-    scene = sphere_light_scene(width=64, height=64, spp=32, sppe=4, sppse=16)
+    if mode == "material_roughness":
+        scene = _metal_scene()  # interior-only perturbation
+    else:
+        # boundary terms on: silhouette gradients need sppe/sppse
+        scene = sphere_light_scene(width=64, height=64, spp=32, sppe=4,
+                                   sppse=16)
     integ = DirectIntegrator(1, 1)
 
     eps = {"mesh_transform": 0.01, "mesh_rotate": 0.5,

@@ -24,7 +24,7 @@ def main():
     width = height = 512
     spp = 16
     scene = cbox_scene(width=width, height=height, spp=spp,
-                       occluder_subdiv=3)
+                       occluder_subdiv=5)
     integ = DirectIntegrator(1, 1)
     render = integ.render_fn(scene, with_boundary=False)
     params = scene.params()
