@@ -52,12 +52,14 @@ class Intersection(NamedTuple):
 
 
 class PositionSample(NamedTuple):
-    """records.h:24-31."""
+    """records.h:24-31 (+ the sampled emitter's index, -1 for envmap, so
+    NEE can shade from the sample without re-reading the closest hit)."""
     valid: jax.Array   # bool
     pdf: jax.Array
     p: jax.Array       # (..., 3)
     n: jax.Array       # (..., 3)
     J: jax.Array
+    emitter: jax.Array = -1  # int32
 
 
 class BSDFSample(NamedTuple):

@@ -31,8 +31,10 @@ from ..core.math import (bilinear, cross, dot, mis_weight, norm, normalize,
                          squared_norm)
 from ..core.records import Ray
 from ..core.sampler import RngStream
+from ..emitter.envmap import envmap_eval_direction
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
-                           ray_intersect, sample_boundary_segment_direct,
+                           ray_intersect, ray_test,
+                           sample_boundary_segment_direct,
                            sample_emitter_position, scene_le)
 from ..sensor.perspective import sample_direct, sample_primary_ray
 from .base import Integrator, accumulate_image
@@ -126,12 +128,21 @@ class DirectIntegrator(Integrator):
             dist = jnp.sqrt(jnp.maximum(dist_sqr, 1e-20))
             wo = wo / dist[..., None]
 
-            ray1 = Ray(its.p, wo)
-            its1 = ray_intersect(flat, ray1, active1, path_space=True)
-            active1 = (active1 & its1.valid
-                       & (its1.t > dist - ShadowEpsilon) & its1.is_emitter())
+            # occlusion test with tmax pruning (reference re-traces closest
+            # hit; the sampled emitter data already carries Le, n, J)
+            occluded = ray_test(flat, Ray(its.p, wo), dist, active1)
+            cos_val = dot(ps.n, -wo)
+            is_env = ps.emitter < 0
+            active1 = active1 & ~occluded & (is_env | (cos_val > 0.0))
 
-            cos_val = dot(its1.n, -wo)
+            le = jnp.where((ps.emitter >= 0)[..., None],
+                           flat.emitter_radiance[jnp.maximum(ps.emitter, 0)],
+                           0.0)
+            if flat.envmap is not None:
+                le = jnp.where(is_env[..., None],
+                               envmap_eval_direction(flat.envmap, wo,
+                                                     active1 & is_env), le)
+
             G_val = _mdiv(jnp.abs(cos_val), dist_sqr, active1)
             wo_local = to_local(its.sh_frame, wo)
             bsdf_val = eval_bsdf(kinds, flat.bsdfs, its, wo_local, active1)
@@ -144,7 +155,7 @@ class DirectIntegrator(Integrator):
                 w_num = sqr(ps.pdf)
                 w_den = w_num + sqr(pdf1)
                 weight = weight * _mdiv(w_num, w_den, active1 & (w_den > 0.0))
-            contrib = scene_le(flat, its1, active1) * bsdf_val * weight[..., None]
+            contrib = le * bsdf_val * weight[..., None]
             result = result + jnp.where(active1[..., None], contrib, 0.0)
 
         return result

@@ -28,7 +28,8 @@ from ..core.math import dot, sqr, squared_norm
 from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
-                           ray_intersect, sample_emitter_position, scene_le)
+                           ray_intersect, ray_test, sample_emitter_position,
+                           scene_le)
 from .base import Integrator
 from .direct import DirectIntegrator, _emitter_meta, _mdiv
 
@@ -66,7 +67,7 @@ class PathTracer(Integrator):
             active = active & (its.bsdf_id >= 0)
 
         for _depth in range(self.max_depth):
-            # --- NEE: sample the emitters (direct.cpp:116-160 pattern) ---
+            # --- NEE via occlusion test (tmax-pruned; see direct.py) ---
             ps = sample_emitter_position(flat, offsets, emeta, its.p,
                                          rng.next_2d(n), active)
             active_l = active & ps.valid
@@ -76,13 +77,20 @@ class PathTracer(Integrator):
             dist = jnp.sqrt(jnp.maximum(dist_sqr, 1e-20))
             wo = wo / dist[..., None]
 
-            its_l = ray_intersect(flat, Ray(its.p, wo), active_l,
-                                  path_space=True)
-            active_l = (active_l & its_l.valid
-                        & (its_l.t > dist - ShadowEpsilon)
-                        & its_l.is_emitter())
+            occluded = ray_test(flat, Ray(its.p, wo), dist, active_l)
+            cos_l = dot(ps.n, -wo)
+            is_env = ps.emitter < 0
+            active_l = active_l & ~occluded & (is_env | (cos_l > 0.0))
 
-            cos_l = dot(its_l.n, -wo)
+            le = jnp.where((ps.emitter >= 0)[..., None],
+                           flat.emitter_radiance[jnp.maximum(ps.emitter, 0)],
+                           0.0)
+            if flat.envmap is not None:
+                from ..emitter.envmap import envmap_eval_direction
+                le = jnp.where(is_env[..., None],
+                               envmap_eval_direction(flat.envmap, wo,
+                                                     active_l & is_env), le)
+
             G_l = _mdiv(jnp.abs(cos_l), dist_sqr, active_l)
             wo_local = to_local(its.sh_frame, wo)
             f_l = eval_bsdf(kinds, flat.bsdfs, its, wo_local, active_l)
@@ -92,7 +100,7 @@ class PathTracer(Integrator):
 
             w_den = sqr(ps.pdf) + sqr(pdf_b_area)
             w_l = _mdiv(sqr(ps.pdf), w_den, active_l & (w_den > 0.0))
-            contrib = scene_le(flat, its_l, active_l) * f_l * w_l[..., None]
+            contrib = le * f_l * w_l[..., None]
             result = result + jnp.where(active_l[..., None],
                                         beta * contrib, 0.0)
 

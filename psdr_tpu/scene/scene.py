@@ -398,29 +398,53 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 4096):
     return perm, inv
 
 
-def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
-                  path_space: bool = False, want_tri_info: bool = False,
-                  sort_rays: bool = False):
-    """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
+def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
+                 tmax=None, sort_rays: bool = False):
+    """Backend dispatch for the detached closest-hit query."""
     perm = inv = None
     q_o, q_d, q_act = ray.o, ray.d, active
+    q_tmax = tmax
     if sort_rays and flat.accel is not None:
         perm, inv = _octant_sort(ray, active)
         if perm is not None:
             q_o, q_d, q_act = sg(ray.o)[perm], sg(ray.d)[perm], active[perm]
+            if tmax is not None:
+                q_tmax = sg(tmax)[perm]
     if flat.accel is not None:
         if flat.accel_kind == "bvh":
-            hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act)
+            hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act, tmax=q_tmax)
         elif flat.accel_kind == "pallas":
             from ..accel.pallas_kernel import ray_intersect_pallas_culled
-            hit = ray_intersect_pallas_culled(flat.accel, q_o, q_d, q_act)
+            hit = ray_intersect_pallas_culled(flat.accel, q_o, q_d, q_act,
+                                              tmax=q_tmax)
         else:
-            hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act)
+            hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
+                                       tmax=q_tmax)
     else:
         hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
-                                  ray.o, ray.d, active)
+                                  ray.o, ray.d, active, tmax=tmax)
     if perm is not None:
         hit = jax.tree.map(lambda a: a[inv], hit)
+    return hit
+
+
+def ray_test(flat: FlatScene, ray: Ray, dist: jax.Array,
+             active: jax.Array) -> jax.Array:
+    """Occlusion query: True where some surface lies strictly closer than
+    ``dist - ShadowEpsilon``. The tmax bound lets the block-culled backends
+    prune every triangle block beyond the light — cheaper than the
+    closest-hit + distance-compare the reference uses."""
+    from ..core.constants import ShadowEpsilon
+    tmax = sg(dist) - ShadowEpsilon
+    hit = _closest_hit(flat, ray, active, tmax=tmax)
+    return hit.valid & active
+
+
+def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
+                  path_space: bool = False, want_tri_info: bool = False,
+                  sort_rays: bool = False):
+    """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
+    hit = _closest_hit(flat, ray, active, sort_rays=sort_rays)
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
@@ -505,7 +529,8 @@ def sample_emitter_position(flat: FlatScene, face_offsets, emitter_meta,
                          pdf=jnp.zeros((n,), jnp.float32),
                          p=jnp.zeros((n, 3), jnp.float32),
                          n=jnp.zeros((n, 3), jnp.float32),
-                         J=jnp.ones((n,), jnp.float32))
+                         J=jnp.ones((n,), jnp.float32),
+                         emitter=jnp.full((n,), -1, jnp.int32))
     for i, (kind, mesh_index) in enumerate(emitter_meta):
         mask = active & (idx == i)
         if kind == "area":
@@ -515,12 +540,14 @@ def sample_emitter_position(flat: FlatScene, face_offsets, emitter_meta,
                                  flat.emitter_inv_area[i], s2)
         else:
             ps = envmap_sample_position(flat.envmap, ref_p, s2, mask)
+        eid = i if kind == "area" else -1
         out = PositionSample(
             valid=jnp.where(mask, ps.valid, out.valid),
             pdf=jnp.where(mask, ps.pdf, out.pdf),
             p=jnp.where(mask[..., None], ps.p, out.p),
             n=jnp.where(mask[..., None], ps.n, out.n),
-            J=jnp.where(mask, ps.J, out.J))
+            J=jnp.where(mask, ps.J, out.J),
+            emitter=jnp.where(mask, eid, out.emitter))
     return out._replace(pdf=out.pdf * sel_pdf,
                         valid=out.valid & active)
 
