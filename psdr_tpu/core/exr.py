@@ -1,10 +1,12 @@
-"""Minimal OpenEXR scanline codec (numpy): read/write NONE, ZIPS, ZIP.
+"""OpenEXR scanline codec (numpy): read NONE/RLE/ZIPS/ZIP/PIZ/PXR24,
+write NONE/RLE/ZIPS/ZIP/PIZ/PXR24.
 
 Replaces the reference's vendored tinyexr + miniz (~18k LoC;
 src/core/bitmap_loader.cpp:13-53 ``load_openexr_rgba``) with a compact
 implementation of the subset a differentiable renderer needs: RGB(A)/Y
-scanline images, HALF or FLOAT channels, zlib-family compression. PIZ
-(wavelet) inputs are detected and reported with a clear error.
+scanline images, HALF or FLOAT channels.  Compression coverage is a
+superset of the reference's (tinyexr reads NONE/RLE/ZIPS/ZIP/PIZ; PXR24
+decode/encode is extra).  B44/DWA remain unsupported, as in the reference.
 """
 from __future__ import annotations
 
@@ -13,11 +15,13 @@ import zlib
 
 import numpy as np
 
+from . import piz
+
 _MAGIC = 0x01312F76
 _PIXEL_TYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
 _COMPRESSION_NAMES = {0: "none", 1: "rle", 2: "zips", 3: "zip", 4: "piz",
                       5: "pxr24", 6: "b44", 7: "b44a", 8: "dwaa", 9: "dwab"}
-_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16, 4: 32}
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
 
 
 def _read_attrs(buf: memoryview, pos: int):
@@ -51,8 +55,8 @@ def _parse_channels(raw: bytes):
     return chans
 
 
-def _unpredict(data: bytearray) -> bytes:
-    """OpenEXR zip reconstruction: byte-delta decode then de-interleave."""
+def _unpredict(data: bytes) -> bytes:
+    """OpenEXR zip/rle reconstruction: byte-delta decode, de-interleave."""
     arr = np.frombuffer(bytes(data), np.uint8).astype(np.int64)
     arr[1:] -= 128
     arr = np.cumsum(arr).astype(np.uint8)
@@ -74,6 +78,136 @@ def _predict(data: bytes) -> bytes:
     return d.astype(np.uint8).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# RLE (compression 1): predictor + interleave as for zip, then a byte-level
+# run-length code — control byte c>=128 means 256-c literal bytes follow,
+# c<128 means one byte follows repeated c+1 times.
+# ---------------------------------------------------------------------------
+
+def _rle_decode(src: bytes, n_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c > 127:
+            cnt = 256 - c
+            i += 1
+            if i + cnt > n:
+                raise ValueError("rle: literal run truncated")
+            out += src[i:i + cnt]
+            i += cnt
+        else:
+            if i + 1 >= n:
+                raise ValueError("rle: repeat run truncated")
+            out += src[i + 1:i + 2] * (c + 1)
+            i += 2
+        if len(out) > n_out:
+            raise ValueError("rle: output overflow")
+    if len(out) != n_out:
+        raise ValueError("rle: short output")
+    return _unpredict(bytes(out))
+
+
+def _rle_encode(raw: bytes) -> bytes:
+    data = _predict(raw)
+    arr = np.frombuffer(data, np.uint8)
+    # maximal equal runs
+    edges = np.nonzero(np.diff(arr))[0]
+    starts = np.concatenate([[0], edges + 1])
+    counts = np.diff(np.append(starts, arr.size))
+    out = bytearray()
+    lit = bytearray()
+
+    def flush_literals():
+        k = 0
+        while k < len(lit):
+            n = min(127, len(lit) - k)
+            out.append(256 - n)
+            out.extend(lit[k:k + n])
+            k += n
+        lit.clear()
+
+    for val, cnt in zip(arr[starts].tolist(), counts.tolist()):
+        if cnt >= 3:
+            flush_literals()
+            while cnt > 0:
+                n = min(128, cnt)
+                out.append(n - 1)
+                out.append(val)
+                cnt -= n
+        else:
+            lit += bytes([val]) * cnt
+    flush_literals()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PXR24 (compression 5): floats rounded to 24 bits, per-channel-scanline
+# byte planes with a running pixel difference, then zlib.
+# ---------------------------------------------------------------------------
+
+def _f32_to_f24(u: np.ndarray) -> np.ndarray:
+    """Round float32 bit patterns (uint32) to 24-bit floats (top 3 bytes)."""
+    s = u & np.uint32(0x80000000)
+    e = u & np.uint32(0x7F800000)
+    m = u & np.uint32(0x007FFFFF)
+    is_special = e == np.uint32(0x7F800000)
+    mn = m >> np.uint32(8)
+    spec = (e >> np.uint32(8)) | mn | (mn == 0).astype(np.uint32)
+    spec = np.where(m != 0, spec, e >> np.uint32(8))     # NaN keeps a bit; inf doesn't
+    fin = ((e | m) + (m & np.uint32(0x80))) >> np.uint32(8)
+    fin = np.where(fin >= 0x7F8000, (e | m) >> np.uint32(8), fin)
+    return (s >> np.uint32(8)) | np.where(is_special, spec, fin)
+
+
+def _pxr24_planes(vals: np.ndarray, typ) -> list[np.ndarray]:
+    """Per-scanline channel data -> list of byte planes, MSB first."""
+    if typ is np.float32:
+        v24 = _f32_to_f24(vals.view(np.uint32))
+        d = np.empty_like(v24)
+        d[0] = v24[0]
+        d[1:] = v24[1:] - v24[:-1]
+        return [((d >> 16) & 0xFF).astype(np.uint8),
+                ((d >> 8) & 0xFF).astype(np.uint8),
+                (d & 0xFF).astype(np.uint8)]
+    if typ is np.float16:
+        v = vals.view(np.uint16).astype(np.uint32)
+        d = np.empty_like(v)
+        d[0] = v[0]
+        d[1:] = v[1:] - v[:-1]
+        return [((d >> 8) & 0xFF).astype(np.uint8),
+                (d & 0xFF).astype(np.uint8)]
+    v = vals.view(np.uint32)
+    d = np.empty_like(v)
+    d[0] = v[0]
+    d[1:] = v[1:] - v[:-1]
+    return [((d >> 24) & 0xFF).astype(np.uint8),
+            ((d >> 16) & 0xFF).astype(np.uint8),
+            ((d >> 8) & 0xFF).astype(np.uint8),
+            (d & 0xFF).astype(np.uint8)]
+
+
+def _pxr24_unplane(raw: bytes, pos: int, width: int, typ):
+    """Inverse of _pxr24_planes; returns (float32 scanline, new pos)."""
+    nb = {np.float32: 3, np.float16: 2, np.uint32: 4}[typ]
+    planes = [np.frombuffer(raw, np.uint8, width, pos + k * width)
+              .astype(np.uint64) for k in range(nb)]
+    pos += nb * width
+    d = np.zeros(width, np.uint64)
+    for p in planes:
+        d = (d << np.uint64(8)) | p
+    v = np.cumsum(d)
+    if typ is np.float32:
+        v = ((v << np.uint64(8)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return v.view(np.float32).astype(np.float32), pos
+    if typ is np.float16:
+        v = (v & np.uint64(0xFFFF)).astype(np.uint16)
+        return v.view(np.float16).astype(np.float32), pos
+    v = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return v.astype(np.float32), pos
+
+
 def read_exr(path: str) -> np.ndarray:
     """Load a scanline EXR as float32 (H, W, C); channel order RGB(A) or Y."""
     with open(path, "rb") as f:
@@ -86,15 +220,10 @@ def read_exr(path: str) -> np.ndarray:
     attrs, pos = _read_attrs(data, 8)
 
     comp = attrs["compression"][1][0]
-    if comp == 4:
-        from .. import native
-        if not native.available():
-            raise ValueError(f"{path}: piz decoding requires the native "
-                             "library (g++ not available)")
-    elif comp not in _LINES_PER_BLOCK:
+    if comp not in _LINES_PER_BLOCK:
         raise ValueError(
             f"{path}: {_COMPRESSION_NAMES.get(comp, comp)} compression not "
-            "supported (supported: none, zips, zip, piz)")
+            "supported (supported: none, rle, zips, zip, piz, pxr24)")
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = x1 - x0 + 1, y1 - y0 + 1
     chans = _parse_channels(attrs["channels"][1])  # alphabetical in file
@@ -112,34 +241,35 @@ def read_exr(path: str) -> np.ndarray:
         pos += size
         ny = min(lines_pb, y1 - y + 1)
         expect = bytes_per_line * ny
-        if comp == 4:
-            if size < expect:
-                from .. import native
-                sizes = [np.dtype(t).itemsize // 2 for _, t in chans]
-                u16 = native.piz_decode(raw, [width] * len(chans),
-                                        [ny] * len(chans), sizes)
-                off16 = 0
-                for (name, typ), sz in zip(chans, sizes):
-                    n16 = width * ny * sz
-                    plane = u16[off16:off16 + n16]
-                    if typ is np.float16:
-                        vals = plane.view(np.float16).reshape(ny, width)
-                    else:
-                        vals = plane.tobytes()
-                        vals = np.frombuffer(vals, typ).reshape(ny, width)
-                    planes[name][y - y0:y - y0 + ny] = vals.astype(np.float32)
-                    off16 += n16
-            else:  # stored raw (incompressible block): scanline interleave
-                off = 0
-                for line in range(ny):
-                    for name, typ in chans:
-                        nb = np.dtype(typ).itemsize * width
-                        vals = np.frombuffer(raw[off:off + nb], typ)
-                        planes[name][y - y0 + line] = vals.astype(np.float32)
-                        off += nb
+        if size >= expect:
+            # stored raw (incompressible block): scanline interleave
+            off = 0
+            for line in range(ny):
+                for name, typ in chans:
+                    nb = np.dtype(typ).itemsize * width
+                    vals = np.frombuffer(raw[off:off + nb], typ)
+                    planes[name][y - y0 + line] = vals.astype(np.float32)
+                    off += nb
             continue
-        if comp != 0 and size < expect:
-            raw = _unpredict(bytearray(zlib.decompress(raw)))
+        if comp == 4:  # PIZ: planar u16 channels
+            shapes = [(ny, width, np.dtype(t).itemsize // 2) for _, t in chans]
+            decoded = piz.decompress_block(raw, shapes)
+            for (name, typ), plane in zip(chans, decoded):
+                vals = np.frombuffer(plane.tobytes(), typ).reshape(ny, width)
+                planes[name][y - y0:y - y0 + ny] = vals.astype(np.float32)
+            continue
+        if comp == 5:  # PXR24: per-scanline channel byte planes, zlib'd
+            raw = zlib.decompress(raw)
+            off = 0
+            for line in range(ny):
+                for name, typ in chans:
+                    vals, off = _pxr24_unplane(raw, off, width, typ)
+                    planes[name][y - y0 + line] = vals
+            continue
+        if comp == 1:
+            raw = _rle_decode(raw, expect)
+        elif comp in (2, 3):
+            raw = _unpredict(zlib.decompress(raw))
         # per scanline: channels in file order, plane-contiguous
         off = 0
         for line in range(ny):
@@ -155,6 +285,10 @@ def read_exr(path: str) -> np.ndarray:
     return np.stack([planes[c] for c in sorted(names)], axis=-1)
 
 
+_WRITE_COMP = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
+               "pxr24": 5}
+
+
 def write_exr(path: str, img: np.ndarray, compression: str = "zip",
               half: bool = False) -> None:
     """Write (H, W, C) float array; C in {1 (Y), 3 (RGB), 4 (RGBA)}."""
@@ -167,7 +301,7 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
            4: {"R": 0, "G": 1, "B": 2, "A": 3}}[nc]
     dtype = np.float16 if half else np.float32
     ptype = 1 if half else 2
-    comp_id = {"none": 0, "zips": 2, "zip": 3}[compression]
+    comp_id = _WRITE_COMP[compression]
     lines_pb = _LINES_PER_BLOCK[comp_id]
 
     def attr(name, typ, val):
@@ -197,11 +331,29 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
         raw = b"".join(
             img[y + line, :, src[n]].astype(dtype).tobytes()
             for line in range(ny) for n in names)
-        if comp_id != 0:
+        if comp_id == 4:
+            words = np.dtype(dtype).itemsize // 2
+            chans16 = [
+                np.frombuffer(
+                    img[y:y + ny, :, src[n]].astype(dtype).tobytes(),
+                    np.uint16).reshape(ny, width * words)
+                for n in names]
+            packed = piz.compress_block(chans16, [words] * len(names))
+        elif comp_id == 5:
+            parts = []
+            for line in range(ny):
+                for n in names:
+                    vals = img[y + line, :, src[n]].astype(dtype)
+                    parts.extend(p.tobytes()
+                                 for p in _pxr24_planes(vals, dtype))
+            packed = zlib.compress(b"".join(parts))
+        elif comp_id == 1:
+            packed = _rle_encode(raw)
+        elif comp_id in (2, 3):
             packed = zlib.compress(_predict(raw))
-            if len(packed) >= len(raw):
-                packed = raw
         else:
+            packed = raw
+        if comp_id != 0 and len(packed) >= len(raw):
             packed = raw
         blocks.append((y, packed))
 

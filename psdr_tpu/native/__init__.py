@@ -7,6 +7,7 @@ works (slower) without a compiler.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,21 +20,33 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native", "psdr_native.cpp")
-_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "libpsdr_native.so")
+_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def _build() -> str | None:
-    if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
-        return _OUT
+    # Cache keyed on a source digest, so editing the .cpp always rebuilds
+    # (mtime comparison is unreliable after checkout: equal mtimes would
+    # silently keep a stale or wrong-arch binary).
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_DIR, f"libpsdr_native-{digest}.so")
+    if os.path.exists(out):
+        return out
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _OUT],
+             "-o", out],
             check=True, capture_output=True, timeout=120)
-        return _OUT
     except (OSError, subprocess.SubprocessError):
         return None
+    for old in os.listdir(_DIR):  # drop superseded builds
+        if (old.startswith("libpsdr_native") and old.endswith(".so")
+                and old != os.path.basename(out)):
+            try:
+                os.remove(os.path.join(_DIR, old))
+            except OSError:
+                pass
+    return out
 
 
 def _load():
@@ -129,28 +142,3 @@ def morton_topology(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     lib.morton_topology(p0.ctypes.data, e1.ctypes.data, e2.ctypes.data,
                         nf, leaf_size, perm.ctypes.data, skip.ctypes.data)
     return perm, skip, P
-
-
-def piz_decode(block: bytes, nxs, nys, sizes) -> np.ndarray | None:
-    """Decode one PIZ block -> concatenated u16 channel planes, or None if
-    the native library is unavailable."""
-    lib = _load()
-    if lib is None:
-        return None
-    if not hasattr(lib, "_piz_ready"):
-        lib.piz_decode.restype = ctypes.c_int32
-        lib.piz_decode.argtypes = [ctypes.c_char_p, ctypes.c_int32,
-                                   ctypes.c_int32, ctypes.c_void_p,
-                                   ctypes.c_void_p, ctypes.c_void_p,
-                                   ctypes.c_void_p]
-        lib._piz_ready = True
-    nx = np.asarray(nxs, np.int32)
-    ny = np.asarray(nys, np.int32)
-    size = np.asarray(sizes, np.int32)
-    total = int(np.sum(nx * ny * size))
-    out = np.empty(total, np.uint16)
-    rc = lib.piz_decode(block, len(block), len(nx), nx.ctypes.data,
-                        ny.ctypes.data, size.ctypes.data, out.ctypes.data)
-    if rc != 0:
-        raise ValueError(f"PIZ decode failed (code {rc})")
-    return out

@@ -15,6 +15,7 @@ the integrator the XML names.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import xml.etree.ElementTree as ET
 
@@ -170,10 +171,9 @@ def _load_sensor(scene: Scene, node):
             fp = _named(child)
             width = int(fp.get("width", 256))
             height = int(fp.get("height", 256))
-    old = scene.opts
-    scene.opts = RenderOptions(width=width, height=height, spp=spp,
-                               sppe=old.sppe, sppse=old.sppse,
-                               log_level=old.log_level)
+    # replace() keeps every option the XML doesn't set (pass_lanes, sppe, ...)
+    scene.opts = dataclasses.replace(scene.opts, width=width, height=height,
+                                     spp=spp)
 
 
 def _load_shape(scene: Scene, node, bsdf_ids: dict, base_dir: str):
