@@ -97,6 +97,11 @@ def hypercube_init(resolution, mass: jax.Array | None = None) -> HyperCube:
 
 
 def hypercube_set_mass(hc: HyperCube, mass: jax.Array) -> HyperCube:
+    # an all-zero mass table (e.g. guiding preprocess found no valid
+    # boundary segments) must degrade to uniform sampling, not to a
+    # zero-pdf distribution that silently kills every guided sample
+    total = jnp.sum(mass)
+    mass = jnp.where(total > 0.0, mass, jnp.ones_like(mass))
     return hc._replace(distrb=discrete_init(mass))
 
 

@@ -36,16 +36,38 @@ def normalize(a: jax.Array) -> jax.Array:
     return a / jnp.maximum(norm(a), 1e-20)[..., None]
 
 
+@jax.custom_jvp
 def safe_sqrt(x: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    # bounded derivative at 0 (plain sqrt has an inf tangent there, which
+    # poisons whole wavefronts through jvp even on masked lanes)
+    (x,), (t,) = primals, tangents
+    y = safe_sqrt(x)
+    return y, t * 0.5 / jnp.maximum(y, 1e-6)
 
 
 def safe_rsqrt(x: jax.Array) -> jax.Array:
     return jax.lax.rsqrt(jnp.maximum(x, 1e-20))
 
 
+@jax.custom_jvp
 def safe_acos(x: jax.Array) -> jax.Array:
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_acos.defjvp
+def _safe_acos_jvp(primals, tangents):
+    # acos'(x) = -1/sqrt(1-x^2) is inf/NaN at the poles (|x| = 1); an
+    # envmap evaluated exactly at a lat-long pole otherwise emits NaN
+    # tangents into the whole image (bunny_env_2 regression)
+    (x,), (t,) = primals, tangents
+    y = safe_acos(x)
+    denom = jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-8))
+    return y, -t / denom
 
 
 def rcp(x: jax.Array) -> jax.Array:

@@ -45,24 +45,41 @@ def accumulate_image(value: jax.Array, pixel_idx: jax.Array,
 
 
 def scan_lane_chunks(run_lanes, n: int, num_pixels: int, key: jax.Array,
-                     pass_lanes: int) -> jax.Array:
+                     pass_lanes: int, lane_range=None) -> jax.Array:
     """Run ``run_lanes(lane (m,), key) -> (num_pixels, 3) partial image``
     over the wavefront in bounded passes (in-jit lax.scan), summing images.
-    Caps XLA HLO-temp memory on huge wavefronts (see RenderOptions.pass_lanes)."""
-    chunk = min(pass_lanes, n)
-    n_chunks = -(-n // chunk)
+    Caps XLA HLO-temp memory on huge wavefronts (see RenderOptions.pass_lanes).
+
+    ``lane_range=(start, count)`` restricts the sweep to a slice of the lane
+    domain (multi-chip lane sharding; ``start`` may be traced, ``count`` must
+    be static). Lanes >= n are masked inside ``run_lanes``.
+    """
+    start, count = (0, n) if lane_range is None else lane_range
+    chunk = min(pass_lanes, count)
+    n_chunks = -(-count // chunk)
     if n_chunks == 1:
-        return run_lanes(jnp.arange(n, dtype=jnp.int32), key)
+        return run_lanes(start + jnp.arange(count, dtype=jnp.int32), key)
     keys = jax.random.split(key, n_chunks)
 
     def body(acc, args):
         c, key_c = args
-        lane = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        lane = start + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         return acc + run_lanes(lane, key_c), None
 
     img, _ = jax.lax.scan(body, jnp.zeros((num_pixels, 3), jnp.float32),
                           (jnp.arange(n_chunks), keys))
     return img
+
+
+def shard_lane_range(n: int, shard) -> tuple:
+    """Contiguous lane slice for device ``d`` of ``n_dev`` covering [0, n):
+    ``shard=(d, n_dev)`` -> (start, count). Each device gets ceil(n/n_dev)
+    lanes; the overflow tail is masked by the usual ``lane < n`` guards, so
+    summing the per-device partial images reproduces the full-budget
+    estimator exactly for any n."""
+    d, n_dev = shard
+    count = -(-n // n_dev)
+    return d * count, count
 
 
 class Integrator:
@@ -74,7 +91,7 @@ class Integrator:
 
     # -- interior -------------------------------------------------------------
     def render_interior(self, scene: Scene, flat: FlatScene, sensor_id: int,
-                        key: jax.Array) -> jax.Array:
+                        key: jax.Array, shard=None) -> jax.Array:
         opts = scene.opts
         num_pixels = opts.num_pixels
         if opts.spp == 0:
@@ -99,12 +116,14 @@ class Integrator:
                 jnp.where((lane < n)[..., None], value, 0.0),
                 jnp.where(lane < n, idx, -1), num_pixels)
 
-        img = scan_lane_chunks(run_lanes, n, num_pixels, key, opts.pass_lanes)
+        img = scan_lane_chunks(run_lanes, n, num_pixels, key, opts.pass_lanes,
+                               shard and shard_lane_range(n, shard))
         return img / opts.spp
 
     # -- primary boundary ------------------------------------------------------
     def render_primary_edges(self, scene: Scene, flat: FlatScene,
-                             sensor_id: int, key: jax.Array) -> jax.Array:
+                             sensor_id: int, key: jax.Array,
+                             shard=None) -> jax.Array:
         opts = scene.opts
         num_pixels = opts.num_pixels
         sensor = flat.sensors[sensor_id]
@@ -133,24 +152,34 @@ class Integrator:
                                     num_pixels)
 
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes)
+                                opts.pass_lanes,
+                                shard and shard_lane_range(n, shard))
 
     # -- secondary boundary: overridden by integrators that support it ---------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,
-                               sensor_id: int, key: jax.Array) -> jax.Array:
+                               sensor_id: int, key: jax.Array,
+                               shard=None) -> jax.Array:
         return jnp.zeros((scene.opts.num_pixels, 3), jnp.float32)
 
     # -- public API -------------------------------------------------------------
     def radiance_image(self, scene: Scene, flat: FlatScene, sensor_id: int,
-                       key: jax.Array, with_boundary: bool) -> jax.Array:
+                       key: jax.Array, with_boundary: bool,
+                       shard=None) -> jax.Array:
         """Full differentiable render: interior + boundary terms.
-        Returns (num_pixels, 3); reshape to (H, W, 3) for display."""
+        Returns (num_pixels, 3); reshape to (H, W, 3) for display.
+
+        ``shard=(device_index, n_devices)`` restricts every term to that
+        device's lane slice (parallel/sharding.py lane-DP); the per-device
+        partial images then *sum* (psum) to the full-budget estimator.
+        """
         keys = jax.random.split(key, 3)
-        img = self.render_interior(scene, flat, sensor_id, keys[0])
+        img = self.render_interior(scene, flat, sensor_id, keys[0], shard)
         if with_boundary and scene.opts.sppe > 0:
-            img = img + self.render_primary_edges(scene, flat, sensor_id, keys[1])
+            img = img + self.render_primary_edges(scene, flat, sensor_id,
+                                                  keys[1], shard)
         if with_boundary and scene.opts.sppse > 0:
-            img = img + self.render_secondary_edges(scene, flat, sensor_id, keys[2])
+            img = img + self.render_secondary_edges(scene, flat, sensor_id,
+                                                    keys[2], shard)
         return img
 
     def render_fn(self, scene: Scene, sensor_id: int = 0,

@@ -162,7 +162,8 @@ class DirectIntegrator(Integrator):
 
     # -- secondary boundary (direct.cpp:207-316) -------------------------------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,
-                               sensor_id: int, key: jax.Array) -> jax.Array:
+                               sensor_id: int, key: jax.Array,
+                               shard=None) -> jax.Array:
         opts = scene.opts
         num_pixels = opts.num_pixels
         n = num_pixels * opts.sppse
@@ -194,9 +195,10 @@ class DirectIntegrator(Integrator):
                 jnp.where((lane < n)[..., None], value, 0.0),
                 jnp.where(lane < n, pix, -1), num_pixels)
 
-        from .base import scan_lane_chunks
+        from .base import scan_lane_chunks, shard_lane_range
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes)
+                                opts.pass_lanes,
+                                shard and shard_lane_range(n, shard))
 
     def eval_secondary_edge(self, scene: Scene, flat: FlatScene,
                             sensor_id: int, sample3: jax.Array, ad: bool):

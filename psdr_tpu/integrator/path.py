@@ -148,17 +148,20 @@ class PathTracer(Integrator):
     # multi-bounce radiance estimate excluding that surface's own emission
     # (which the direct estimator already covers) — capturing visibility
     # discontinuities of indirectly-lit shadows.
-    def render_secondary_edges(self, scene, flat, sensor_id, key):
+    def render_secondary_edges(self, scene, flat, sensor_id, key,
+                               shard=None):
         helper = DirectIntegrator(1, 1)
         helper.warpper = self.warpper
-        img = helper.render_secondary_edges(scene, flat, sensor_id, key)
+        img = helper.render_secondary_edges(scene, flat, sensor_id, key, shard)
         if self.max_depth > 1:
             img = img + self.render_indirect_edges(scene, flat, sensor_id,
-                                                   jax.random.fold_in(key, 7))
+                                                   jax.random.fold_in(key, 7),
+                                                   shard)
         return img
 
     def render_indirect_edges(self, scene: Scene, flat: FlatScene,
-                              sensor_id: int, key: jax.Array) -> jax.Array:
+                              sensor_id: int, key: jax.Array,
+                              shard=None) -> jax.Array:
         from ..core.math import scrub_nonfinite
         from .base import accumulate_image, scan_lane_chunks
 
@@ -193,8 +196,10 @@ class PathTracer(Integrator):
                 jnp.where((lane < n)[..., None], value, 0.0),
                 jnp.where(lane < n, pix, -1), num_pixels)
 
+        from .base import shard_lane_range
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes)
+                                opts.pass_lanes,
+                                shard and shard_lane_range(n, shard))
 
     def eval_secondary_edge_indirect(self, scene: Scene, flat: FlatScene,
                                      sensor_id: int, sample3: jax.Array,

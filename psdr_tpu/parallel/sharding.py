@@ -46,13 +46,8 @@ def device_mesh(n_devices: Optional[int] = None,
 
 def _scaled_opts_scene(scene, n_dev: int):
     """A shallow scene copy whose per-device sample budgets are 1/n_dev."""
-    opts = scene.opts
-    for name, v in (("spp", opts.spp), ("sppe", opts.sppe),
-                    ("sppse", opts.sppse)):
-        if v % n_dev != 0:
-            raise ValueError(
-                f"{name}={v} must be divisible by mesh size {n_dev}")
     import dataclasses
+    opts = scene.opts
     local = copy.copy(scene)
     local.opts = dataclasses.replace(opts, spp=opts.spp // n_dev,
                                      sppe=opts.sppe // n_dev,
@@ -60,26 +55,69 @@ def _scaled_opts_scene(scene, n_dev: int):
     return local
 
 
+def _budgets_divisible(opts, n_dev: int) -> bool:
+    return all(v % n_dev == 0 for v in (opts.spp, opts.sppe, opts.sppse))
+
+
+def per_device_render_fn(integrator, scene, n_dev: int, sensor_id: int = 0,
+                         with_boundary: bool = True, mode: str = "auto"):
+    """The per-device partial render ``g(params, key, d) -> partial image``,
+    with the property that  mean_d g  ==  the full-budget estimator.
+
+    Two DP schemes (``mode``: "auto" | "budget" | "lanes"):
+    * budget: spp/sppe/sppse split across devices (requires divisibility);
+      each device renders the whole wavefront at 1/n_dev budget.
+    * lanes: every device renders a contiguous 1/n_dev slice of the
+      *full-budget* lane domain of every term — exact for any sample count
+      (base.py shard_lane_range), at the price of building the full-size
+      wavefront chunk grid on each device.
+
+    Factored out of ``shard_render_fn`` so tests can run the identical math
+    serially (a loop over d) and assert the sharded render/gradients match
+    the emulation to float tolerance.
+    """
+    if mode == "auto":
+        mode = "budget" if _budgets_divisible(scene.opts, n_dev) else "lanes"
+    scene.prepare_accel()
+    if mode == "budget":
+        local_scene = _scaled_opts_scene(scene, n_dev)
+
+        def g(params, key, d):
+            key = jax.random.fold_in(key, d)
+            flat = local_scene.build(params)
+            return integrator.radiance_image(local_scene, flat, sensor_id,
+                                             key, with_boundary)
+    elif mode == "lanes":
+        def g(params, key, d):
+            key = jax.random.fold_in(key, d)
+            flat = scene.build(params)
+            # partial sums of the full-budget estimator: scale by n_dev so
+            # the mean over devices is the estimator itself
+            return n_dev * integrator.radiance_image(
+                scene, flat, sensor_id, key, with_boundary,
+                shard=(d, n_dev))
+    else:
+        raise ValueError(f"unknown DP mode {mode!r}")
+    return g
+
+
 def shard_render_fn(integrator, scene, mesh: Mesh, sensor_id: int = 0,
-                    with_boundary: bool = True):
+                    with_boundary: bool = True, mode: str = "auto"):
     """A jittable, differentiable ``f(params, key) -> (num_pixels, 3)`` that
     renders data-parallel over ``mesh``'s first axis.
 
     AD flows through scene build (geometry) exactly like the single-chip
-    ``Integrator.render_fn``; each device consumes an independent fold of
-    ``key`` and the images are averaged with ``pmean``.
+    ``Integrator.render_fn``; each device computes its partial (budget split
+    when divisible, exact lane slices otherwise — see per_device_render_fn)
+    and the partials are averaged with ``pmean``.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    scene.prepare_accel()
-    local_scene = _scaled_opts_scene(scene, n_dev)
+    g = per_device_render_fn(integrator, scene, n_dev, sensor_id,
+                             with_boundary, mode)
 
     def per_device(params, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        flat = local_scene.build(params)
-        img = integrator.radiance_image(local_scene, flat, sensor_id, key,
-                                        with_boundary)
-        return jax.lax.pmean(img, axis)
+        return jax.lax.pmean(g(params, key, jax.lax.axis_index(axis)), axis)
 
     params_spec = jax.tree.map(lambda _: P(), scene.params())
     f = shard_map(per_device, mesh=mesh,

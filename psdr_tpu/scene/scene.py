@@ -84,7 +84,7 @@ class Scene:
         self.bsdfs: list = []
         self.emitters: list = []
         self.sensors: list[PerspectiveCamera] = []
-        self.opts = RenderOptions()
+        self._opts = RenderOptions()
         self.param_map: dict = {}
         self._configured = False
         self._flat_cache = None
@@ -93,6 +93,18 @@ class Scene:
         self.accel_leaf_size = 4
         self.accel_min_faces = 512  # "auto" switches to BVH above this
         self._bvh_topo = None
+
+    @property
+    def opts(self) -> RenderOptions:
+        return self._opts
+
+    @opts.setter
+    def opts(self, value: RenderOptions) -> None:
+        # the cached FlatScene bakes in opts-dependent structure (edge
+        # tables exist only when sppe/sppse > 0, sensor tables depend on
+        # width/height), so any opts change must invalidate it
+        self._opts = value
+        self._flat_cache = None
 
     # -- construction --------------------------------------------------------
     def add_bsdf(self, bsdf, bsdf_id: str = "") -> int:

@@ -16,27 +16,32 @@ from .. import Scene
 from ..core import transform as xf
 
 
-def mesh_transform(params: dict, P, *, mesh_index: int = 0,
+def _per_mesh(params: dict, mesh_index, vecs, update) -> dict:
+    """Apply ``update(mesh_params, vec) -> new to_world`` to one or several
+    meshes (the reference's configs drive lists of Mesh_IDs,
+    examples/utils/differential.py:5-20)."""
+    idxs = mesh_index if isinstance(mesh_index, (list, tuple)) else [mesh_index]
+    vecs = list(vecs) if isinstance(vecs[0], (list, tuple)) else [vecs] * len(idxs)
+    out = dict(params)
+    out["meshes"] = list(params["meshes"])
+    for i, v in zip(idxs, vecs):
+        new = dict(out["meshes"][i])
+        new["to_world"] = update(new, jnp.asarray(v, jnp.float32))
+        out["meshes"][i] = new
+    return out
+
+
+def mesh_transform(params: dict, P, *, mesh_index=0,
                    direction=(1.0, 0.0, 0.0)) -> dict:
-    d = jnp.asarray(direction, jnp.float32)
-    m = params["meshes"][mesh_index]
-    new = dict(m)
-    new["to_world"] = xf.translate(d * P) @ m["to_world"]
-    out = dict(params)
-    out["meshes"] = list(params["meshes"])
-    out["meshes"][mesh_index] = new
-    return out
+    return _per_mesh(params, mesh_index, direction,
+                     lambda m, d: xf.translate(d * P) @ m["to_world"])
 
 
-def mesh_rotate(params: dict, P, *, mesh_index: int = 0,
+def mesh_rotate(params: dict, P, *, mesh_index=0,
                 axis=(0.0, 1.0, 0.0)) -> dict:
-    m = params["meshes"][mesh_index]
-    new = dict(m)
-    new["to_world"] = xf.rotate(jnp.asarray(axis, jnp.float32), P) @ m["to_world"]
-    out = dict(params)
-    out["meshes"] = list(params["meshes"])
-    out["meshes"][mesh_index] = new
-    return out
+    # axis direction carries the sign; xf.rotate normalizes magnitude
+    return _per_mesh(params, mesh_index, axis,
+                     lambda m, a: xf.rotate(a, P) @ m["to_world"])
 
 
 def vertex_transform(params: dict, P, *, mesh_index: int = 0,
@@ -44,7 +49,8 @@ def vertex_transform(params: dict, P, *, mesh_index: int = 0,
     d = jnp.asarray(direction, jnp.float32)
     m = params["meshes"][mesh_index]
     new = dict(m)
-    new["vertex_positions"] = m["vertex_positions"].at[vertex_index].add(d * P)
+    vp = jnp.asarray(m["vertex_positions"])  # scene params may be host numpy
+    new["vertex_positions"] = vp.at[vertex_index].add(d * P)
     out = dict(params)
     out["meshes"] = list(params["meshes"])
     out["meshes"][mesh_index] = new

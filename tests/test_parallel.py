@@ -1,6 +1,11 @@
-"""Multi-chip (8 emulated CPU devices) sharding tests: the sharded render
-must agree with the single-chip estimator in expectation, and the sharded
-training step must produce finite losses and gradients."""
+"""Multi-chip (8 emulated CPU devices) sharding tests.
+
+The load-bearing property: ``shard_render_fn``'s image and its parameter
+*gradients* must equal, to float tolerance, a serial emulation that runs the
+identical per-device math in a Python loop (``per_device_render_fn``). That
+pins down the shard_map machinery itself — a psum/transpose bug that scaled
+gradients by n_devices would fail these, while finiteness checks would not.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +13,7 @@ import pytest
 
 from psdr_tpu import DirectIntegrator
 from psdr_tpu.parallel import device_mesh, make_train_step, shard_render_fn
+from psdr_tpu.parallel.sharding import per_device_render_fn
 
 from scenes import cbox_scene
 
@@ -17,42 +23,112 @@ def scene():
     return cbox_scene(width=24, height=24, spp=8, sppe=0, sppse=0)
 
 
-def test_sharded_render_matches_single_chip_mean(scene):
-    """The DP estimator must equal the single-chip estimator in expectation;
-    with matched total sample counts the images agree closely."""
+def _loss(render):
+    def f(p, k):
+        img = render(p, k)
+        return jnp.mean(img * img) + jnp.mean(img)
+    return f
+
+
+def _serial_reference(integrator, scene, n_dev, mode, with_boundary=False):
+    """mean over d of the identical per-device partial, in a Python loop."""
+    g = per_device_render_fn(integrator, scene, n_dev,
+                             with_boundary=with_boundary, mode=mode)
+
+    def render(params, key):
+        parts = [g(params, key, jnp.int32(d)) for d in range(n_dev)]
+        return sum(parts) / n_dev
+    return render
+
+
+@pytest.mark.parametrize("spp,mode", [(8, "budget"), (6, "lanes")])
+def test_sharded_render_matches_serial_emulation(spp, mode):
+    """spp=8 divides the 8-device mesh (budget DP); spp=6 does not and takes
+    the exact lane-sharded path."""
+    sc = cbox_scene(width=24, height=24, spp=spp, sppe=0, sppse=0)
     integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
     mesh = device_mesh(8)
-    render = shard_render_fn(integrator, scene, mesh, with_boundary=False)
-    params = scene.params()
+    render_sh = shard_render_fn(integrator, sc, mesh, with_boundary=False)
+    render_ser = _serial_reference(integrator, sc, 8, mode)
+    params = sc.params()
+    key = jax.random.PRNGKey(3)
 
-    img_sharded = np.asarray(jax.jit(render)(params, jax.random.PRNGKey(3)))
-    assert np.all(np.isfinite(img_sharded))
-    assert img_sharded.max() > 0.0
-
-    single = integrator.render_fn(scene, with_boundary=False)
-    imgs = [np.asarray(jax.jit(single)(params, jax.random.PRNGKey(s)))
-            for s in range(4)]
-    img_single = np.mean(imgs, axis=0)
-    # both are MC estimates of the same integral: compare means loosely
-    assert abs(img_sharded.mean() - img_single.mean()) < 0.1 * img_single.mean()
+    img_sh = np.asarray(jax.jit(render_sh)(params, key))
+    img_ser = np.asarray(jax.jit(render_ser)(params, key))
+    assert np.isfinite(img_sh).all() and img_sh.max() > 0.0
+    np.testing.assert_allclose(img_sh, img_ser, rtol=2e-5, atol=2e-6)
 
 
-def test_sharded_grads_match_single_chip(scene):
-    """Parameter gradients through the sharded render (shard_map transpose
-    psum) must match the single-chip gradients for identical per-device
-    keys-independent structure: compare expectations over a few seeds."""
+@pytest.mark.parametrize("spp,mode", [(8, "budget"), (6, "lanes")])
+def test_sharded_grads_match_serial_emulation(spp, mode):
+    """Gradients through the sharded render (shard_map transpose psum) must
+    equal the serial-emulation gradients leaf-by-leaf."""
+    sc = cbox_scene(width=24, height=24, spp=spp, sppe=0, sppse=0)
     integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
     mesh = device_mesh(8)
-    render = shard_render_fn(integrator, scene, mesh, with_boundary=False)
-    params = scene.params()
+    render_sh = shard_render_fn(integrator, sc, mesh, with_boundary=False)
+    render_ser = _serial_reference(integrator, sc, 8, mode)
+    params = sc.params()
+    key = jax.random.PRNGKey(0)
 
-    def loss_sh(p, k):
-        return jnp.mean(render(p, k))
+    g_sh = jax.jit(jax.grad(_loss(render_sh)))(params, key)
+    g_ser = jax.jit(jax.grad(_loss(render_ser)))(params, key)
 
-    g = jax.jit(jax.grad(loss_sh))(params, jax.random.PRNGKey(0))
-    leaf = g["bsdfs"][0]["reflectance"]
-    assert np.all(np.isfinite(np.asarray(leaf)))
-    assert np.abs(np.asarray(leaf)).max() > 0.0
+    leaves_sh, tree_sh = jax.tree.flatten(g_sh)
+    leaves_ser, tree_ser = jax.tree.flatten(g_ser)
+    assert tree_sh == tree_ser
+    checked = 0
+    for a, b in zip(leaves_sh, leaves_ser):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.isfinite(a).all()
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5 * scale)
+        checked += a.size
+    assert checked > 10  # the pytree actually carries gradients
+    # and the gradient is not trivially zero
+    total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves_sh)
+    assert total > 0.0
+
+
+def test_lane_sharding_covers_full_budget():
+    """Lane-DP must assign every lane to exactly one device (ceil split +
+    tail masking). The cbox encloses the camera, so the silhouette AOV is
+    exactly 1 for every sample regardless of RNG: summed lane partials give
+    a pixel value != 1 iff a lane was lost or double-counted."""
+    from psdr_tpu import FieldExtractionIntegrator
+    sc = cbox_scene(width=16, height=16, spp=5, sppe=0, sppse=0)
+    integrator = FieldExtractionIntegrator("silhouette")
+    for n_dev in (8, 3):  # 1280 lanes: exact split and ceil-with-tail
+        render_ser = _serial_reference(integrator, sc, n_dev, "lanes")
+        img = np.asarray(render_ser(sc.params(), jax.random.PRNGKey(1))
+                         ).reshape(16, 16, 3)
+        np.testing.assert_allclose(img, 1.0, rtol=1e-5)
+
+
+def test_sharded_boundary_terms_run():
+    """Boundary estimators under lane-DP: gradients flow and match the
+    serial emulation."""
+    sc = cbox_scene(width=16, height=16, spp=4, sppe=6, sppse=6)
+    integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
+    mesh = device_mesh(8)
+    render_sh = shard_render_fn(integrator, sc, mesh, with_boundary=True)
+    render_ser = _serial_reference(integrator, sc, 8, "lanes",
+                                   with_boundary=True)
+    params = sc.params()
+    key = jax.random.PRNGKey(2)
+
+    def loss(p, k, r):
+        def inner(q):
+            return jnp.mean(r(q, k))
+        return jax.grad(inner)(p)
+
+    g_sh = jax.jit(lambda p, k: loss(p, k, render_sh))(params, key)
+    g_ser = jax.jit(lambda p, k: loss(p, k, render_ser))(params, key)
+    a = np.asarray(g_sh["meshes"][0]["to_world"], np.float64)
+    b = np.asarray(g_ser["meshes"][0]["to_world"], np.float64)
+    assert np.isfinite(a).all() and np.abs(a).max() > 0
+    np.testing.assert_allclose(a, b, rtol=5e-4,
+                               atol=5e-5 * max(np.abs(b).max(), 1e-12))
 
 
 def test_train_step_runs(scene):
