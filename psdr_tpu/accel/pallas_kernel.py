@@ -331,3 +331,262 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
     tri_id = jnp.where(slot >= 0, bvh.perm[jnp.maximum(slot, 0)], -1)
     return HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv,
                      t=jnp.where(tri_id >= 0, t, _INF))
+
+
+# ---------------------------------------------------------------------------
+# v2: the cull lives inside the kernel.
+#
+# One grid step per ray block. Phase A slab-tests the whole block against
+# every leaf-block AABB in VMEM ((R, CB) tiles, no HBM temporaries — the
+# XLA-side cull materialized (n_rblocks, R, B) tensors). Phase B copies the
+# occupancy/entry-depth rows to SMEM and compacts the occupied block ids
+# with a scalar loop. Phase C is the double-buffered triangle-stream MT
+# loop, now with (a) a per-block depth skip — a block whose conservative
+# entry depth exceeds the worst active lane's current best hit cannot
+# improve anything — and (b), in any-hit mode, a whole-block early exit
+# once every active lane is decided (shadow rays, scene.py ray_test).
+# ---------------------------------------------------------------------------
+
+def _culled2_kernel(rays_ref, rays_t_ref, boxes_ref, tris_hbm,
+                    out_ref, occtn_v, occtn_smem, list_smem, tns_smem,
+                    osem, scratch, sems, *,
+                    tri_block, b_pad, cull_chunk, any_hit):
+    T = tri_block
+    R = rays_ref.shape[1]
+
+    out_ref[0, :] = rays_ref[6, :]                      # t = tmax
+    out_ref[1:2, :] = pltpu.bitcast(
+        jnp.full_like(rays_ref[0:1, :], -1, jnp.int32), jnp.float32)
+    out_ref[2, :] = jnp.zeros_like(rays_ref[0, :])
+    out_ref[3, :] = jnp.zeros_like(rays_ref[0, :])
+
+    # --- phase A: in-kernel cull ------------------------------------------
+    o = [rays_t_ref[:, c:c + 1] for c in range(3)]      # (R, 1)
+    d = [rays_t_ref[:, 3 + c:4 + c] for c in range(3)]
+    act = rays_t_ref[:, 7:8] > 0.0
+    tmax_r = rays_t_ref[:, 6:7]
+    inv = [1.0 / jnp.where(jnp.abs(dc) < 1e-20,
+                           jnp.where(dc < 0, -1e-20, 1e-20), dc) for dc in d]
+
+    def cull_chunk_body(c, _):
+        s = pl.ds(c * cull_chunk, cull_chunk)
+        tn = jnp.full((R, cull_chunk), RayEpsilon)
+        tf = jnp.broadcast_to(tmax_r, (R, cull_chunk))
+        for k in range(3):
+            lo = boxes_ref[k:k + 1, s]
+            hi = boxes_ref[3 + k:4 + k, s]
+            t0 = (lo - o[k]) * inv[k]
+            t1 = (hi - o[k]) * inv[k]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hitm = (tn <= tf) & act & (boxes_ref[6:7, s] > 0.0)
+        occtn_v[0:1, s] = jnp.max(hitm.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+        occtn_v[1:2, s] = jnp.min(jnp.where(hitm, tn, float("inf")),
+                                  axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, b_pad // cull_chunk, cull_chunk_body, 0)
+
+    # --- phase B: occupancy -> SMEM, scalar compaction --------------------
+    cp = pltpu.make_async_copy(occtn_v, occtn_smem, osem)
+    cp.start()
+    cp.wait()
+
+    def compact(j, k):
+        occ = occtn_smem[0, j] > 0.0
+
+        @pl.when(occ)
+        def _():
+            list_smem[0, k] = j
+            tns_smem[0, k] = occtn_smem[1, j]
+
+        return k + jnp.where(occ, 1, 0)
+
+    count = jax.lax.fori_loop(0, b_pad, compact, jnp.int32(0))
+
+    # --- phase C: double-buffered triangle stream -------------------------
+    def dma(slot, pos):
+        return pltpu.make_async_copy(tris_hbm.at[list_smem[0, pos]],
+                                     scratch.at[slot], sems.at[slot])
+
+    def mt_block(pos, slot):
+        b = list_smem[0, pos]
+        ox, oy, oz = (rays_ref[k:k + 1, :] for k in range(3))
+        dx, dy, dz = (rays_ref[k:k + 1, :] for k in range(3, 6))
+        active = rays_ref[7:8, :] > 0.0
+        row = scratch[slot]                             # (16, T)
+        p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = (
+            row[k, :].reshape(T, 1) for k in range(9))
+
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+        sx = ox - p0x
+        sy = oy - p0y
+        sz = oz - p0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+        t_best = out_ref[0:1, :]
+        tvalid = row[9, :].reshape(T, 1) > 0.0
+        ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t > RayEpsilon) & (t < t_best) & tvalid & active)
+        t_m = jnp.where(ok, t, float("inf"))
+        rsel = jnp.argmin(t_m, axis=0)
+        pick = rsel[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, t_m.shape, 0)
+        t_c = jnp.min(t_m, axis=0)
+        closer = t_c < t_best[0, :]
+        u_c = jnp.sum(jnp.where(pick, u, 0.0), axis=0)
+        v_c = jnp.sum(jnp.where(pick, v, 0.0), axis=0)
+
+        out_ref[0, :] = jnp.where(closer, t_c, out_ref[0, :])
+        ids = pltpu.bitcast(out_ref[1:2, :], jnp.int32)
+        new_ids = jnp.where(closer[None, :],
+                            rsel[None, :].astype(jnp.int32) + b * T, ids)
+        out_ref[1:2, :] = pltpu.bitcast(new_ids, jnp.float32)
+        out_ref[2, :] = jnp.where(closer, u_c, out_ref[2, :])
+        out_ref[3, :] = jnp.where(closer, v_c, out_ref[3, :])
+
+    @pl.when(count > 0)
+    def _():
+        dma(0, 0).start()
+
+        if any_hit:
+            # exit the stream once every active lane is decided
+            def cond(pos):
+                undecided = jnp.sum(
+                    ((pltpu.bitcast(out_ref[1:2, :], jnp.int32) < 0)
+                     & (rays_ref[7:8, :] > 0.0)).astype(jnp.int32))
+                return (pos < count) & (undecided > 0)
+
+            def body(pos):
+                slot = pos % 2
+
+                @pl.when(pos + 1 < count)
+                def _():
+                    dma(1 - slot, pos + 1).start()
+
+                dma(slot, pos).wait()
+                mt_block(pos, slot)
+                return pos + 1
+
+            jax.lax.while_loop(cond, body, jnp.int32(0))
+        else:
+            def body(pos, _):
+                slot = pos % 2
+
+                @pl.when(pos + 1 < count)
+                def _():
+                    dma(1 - slot, pos + 1).start()
+
+                dma(slot, pos).wait()
+                # depth skip: the block cannot beat the worst active best-t
+                t_worst = jnp.max(
+                    jnp.where(rays_ref[7:8, :] > 0.0, out_ref[0:1, :], 0.0))
+
+                @pl.when(tns_smem[0, pos] <= t_worst)
+                def _():
+                    mt_block(pos, slot)
+
+                return 0
+
+            jax.lax.fori_loop(0, count, body, 0)
+
+
+def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
+                                 active: jax.Array | None = None,
+                                 tmax: jax.Array | None = None,
+                                 ray_block: int = 512,
+                                 tri_block: int = 128,
+                                 any_hit: bool = False,
+                                 interpret: bool = False) -> HitRecord:
+    """Block-culled Pallas intersection, cull and compaction in-kernel.
+    Same contract as ray_intersect_culled; ``any_hit=True`` returns *a* hit
+    (not necessarily the closest) and exits early — for occlusion queries."""
+    sg = jax.lax.stop_gradient
+    ray_o, ray_d = sg(ray_o), sg(ray_d)
+    n_rays = ray_o.shape[0]
+    P, L = bvh.num_leaves, bvh.leaf_size
+
+    n_tris_padded = P * L
+    T = min(tri_block, n_tris_padded)
+    n_blocks = max(1, n_tris_padded // T)
+    blocks = bvh.nodes[n_blocks:2 * n_blocks]           # (B, 6) leaf-row AABBs
+    lpb = P // n_blocks
+    tri_rows = (bvh.leaf_tris.reshape(n_blocks, lpb, 9, L)
+                .transpose(0, 2, 1, 3).reshape(n_blocks, 9, T))
+    valid_rows = bvh.tri_valid.reshape(n_blocks, 1, T).astype(jnp.float32)
+    tri_rows = jnp.concatenate(
+        [tri_rows, valid_rows,
+         jnp.zeros((n_blocks, 6, T), jnp.float32)], axis=1)
+    block_mask = bvh.node_mask[n_blocks:2 * n_blocks]
+
+    if active is None:
+        active = jnp.ones((n_rays,), bool)
+    else:
+        active = sg(active)
+    if tmax is None:
+        tmax = jnp.full((n_rays,), _INF)
+    tmax = jnp.broadcast_to(sg(tmax), (n_rays,))
+
+    rb = min(ray_block, max(128, n_rays))
+    r_pad = _ceil_to(n_rays, rb)
+    n_rblocks = r_pad // rb
+    b_pad = _ceil_to(n_blocks, 128)
+    cull_chunk = min(256, b_pad)
+
+    rays = jnp.stack([
+        _pad_to(ray_o[:, 0], r_pad), _pad_to(ray_o[:, 1], r_pad),
+        _pad_to(ray_o[:, 2], r_pad), _pad_to(ray_d[:, 0], r_pad),
+        _pad_to(ray_d[:, 1], r_pad), _pad_to(ray_d[:, 2], r_pad),
+        _pad_to(tmax, r_pad, value=0.0),
+        _pad_to(active.astype(jnp.float32), r_pad),
+    ])                                                  # (8, r_pad)
+    rays_t = rays.T                                     # (r_pad, 8)
+
+    # (8, b_pad): lo.xyz, hi.xyz, mask, pad
+    boxes = jnp.concatenate([
+        jnp.pad(blocks.T, ((0, 0), (0, b_pad - n_blocks))),
+        jnp.pad(block_mask.astype(jnp.float32)[None, :],
+                ((0, 0), (0, b_pad - n_blocks))),
+        jnp.zeros((1, b_pad), jnp.float32),
+    ])
+
+    out = pl.pallas_call(
+        partial(_culled2_kernel, tri_block=T, b_pad=b_pad,
+                cull_chunk=cull_chunk, any_hit=any_hit),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        grid=(n_rblocks,),
+        in_specs=[
+            pl.BlockSpec((8, rb), lambda i: (0, i)),
+            pl.BlockSpec((rb, 8), lambda i: (i, 0)),
+            pl.BlockSpec((8, b_pad), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, rb), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, b_pad), jnp.float32),
+            pltpu.SMEM((2, b_pad), jnp.float32),
+            pltpu.SMEM((1, b_pad), jnp.int32),
+            pltpu.SMEM((1, b_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rays, rays_t, boxes, tri_rows)
+
+    t = out[0, :n_rays]
+    slot = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
+    uv = jnp.stack([out[2, :n_rays], out[3, :n_rays]], axis=-1)
+    tri_id = jnp.where(slot >= 0, bvh.perm[jnp.maximum(slot, 0)], -1)
+    return HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv,
+                     t=jnp.where(tri_id >= 0, t, _INF))

@@ -84,6 +84,8 @@ class PrimaryEdgeSample(NamedTuple):
     ray_p: Ray           # offset ray on the positive side
     ray_n: Ray           # offset ray on the negative side
     pdf: jax.Array
+    ray_c: Ray           # center ray toward the edge point (vis check)
+    vis_dist: jax.Array  # camera->edge-point distance, margin applied
 
 
 class BoundarySegSample(NamedTuple):
@@ -107,6 +109,10 @@ class RenderOptions:
     sppe: int = 0
     sppse: int = 0
     log_level: int = 0
+    # reject primary-edge samples whose edge point is occluded from the
+    # camera (reference compile-time PSDR_PRIMARY_EDGE_VIS_CHECK,
+    # src/sensor/perspective.cpp:171-192, off by default there too)
+    primary_edge_vis_check: bool = False
     # max lanes materialized at once; larger wavefronts run as an in-jit
     # lax.scan over passes (the reference's npass, fused into one program).
     # Bounds XLA HLO-temp memory: some (N,3) temporaries get lane-padded

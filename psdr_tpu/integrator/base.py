@@ -139,6 +139,12 @@ class Integrator:
             # sorted iid samples group same-edge lanes into coherent blocks
             pes = sample_primary_edge(sensor, jnp.sort(rng.next_1d(m)))
             valid = (pes.idx >= 0) & (lane < n)
+            if opts.primary_edge_vis_check:
+                # reject samples whose edge point is occluded from the
+                # camera (integrator.cpp:104-106 under the vis-check macro)
+                from ..scene.scene import ray_test
+                occluded = ray_test(flat_det, pes.ray_c, pes.vis_dist, valid)
+                valid = valid & ~occluded
             delta_L = sg(self.Li(scene, flat_det, rng, pes.ray_n, valid)
                          - self.Li(scene, flat_det, rng, pes.ray_p, valid))
             pdf = jnp.where(valid, sg(pes.pdf), 1.0)

@@ -89,6 +89,14 @@ class Optimizer:
                                                    self.state)
         return float(loss)
 
+    def maybe_rebuild_accel(self, threshold: float = 1.5) -> bool:
+        """Re-sort the acceleration topology if geometry optimization has
+        degraded the frozen Morton order (scene.refit_quality). Call every
+        few steps when optimizing vertex positions; triggers a one-time
+        retrace of jitted renders."""
+        return self.scene.maybe_rebuild_accel(self.params,
+                                              threshold=threshold)
+
     def write_back(self) -> None:
         """Push optimized parameters into the host scene objects."""
         self.scene.set_params(self.params)

@@ -190,6 +190,62 @@ class Scene:
                 np.asarray(flat0.tri.p0), np.asarray(flat0.tri.e1),
                 np.asarray(flat0.tri.e2), leaf_size=self.accel_leaf_size)
 
+    @staticmethod
+    def _leaf_area(perm, leaf_size, p0, e1, e2):
+        """Total surface area of the leaf AABBs induced by a triangle
+        permutation — the cull-efficiency (SAH-like) cost of a topology."""
+        L = leaf_size
+        idx = np.maximum(perm, 0).reshape(-1, L)
+        ok = (perm >= 0).reshape(-1, L)[..., None]
+        v0 = p0[idx]
+        pts = np.stack([v0, v0 + e1[idx], v0 + e2[idx]], axis=2)
+        big = np.float32(1e30)
+        lo = np.where(ok[:, :, None], pts, big).min(axis=(1, 2))
+        hi = np.where(ok[:, :, None], pts, -big).max(axis=(1, 2))
+        ext = np.maximum(hi - lo, 0.0)
+        any_tri = ok[:, :, 0].any(axis=1)
+        area = 2 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                    + ext[:, 2] * ext[:, 0])
+        return float(np.where(any_tri, area, 0.0).sum())
+
+    def refit_quality(self, params: dict | None = None) -> float:
+        """Ratio (>= ~1) of the current topology's refit leaf-AABB surface
+        area to a fresh Morton build's, at the given (concrete) parameters.
+        Morton order frozen at ``prepare_accel`` degrades under large
+        deformation; a ratio well above 1 means rays sweep needlessly fat
+        leaf boxes."""
+        if self._bvh_topo is None:
+            return 1.0
+        flat = self.build(self.params() if params is None else params)
+        p0 = np.asarray(flat.tri.p0)
+        e1 = np.asarray(flat.tri.e1)
+        e2 = np.asarray(flat.tri.e2)
+        fresh = build_bvh_topology(p0, e1, e2,
+                                   leaf_size=self.accel_leaf_size)
+        cur = self._leaf_area(np.asarray(self._bvh_topo.perm),
+                              self._bvh_topo.leaf_size, p0, e1, e2)
+        ref = self._leaf_area(np.asarray(fresh.perm), fresh.leaf_size,
+                              p0, e1, e2)
+        return cur / max(ref, 1e-30)
+
+    def maybe_rebuild_accel(self, params: dict | None = None,
+                            threshold: float = 1.5) -> bool:
+        """Host-side re-sort trigger: rebuild the Morton topology when the
+        refit quality degraded past ``threshold`` (the OptiX analog is a
+        full GAS rebuild instead of a refit). Call between optimizer steps;
+        NOT inside jit. Returns True if the topology was rebuilt (the next
+        jitted render retraces against the new static topology)."""
+        if self._bvh_topo is None:
+            return False
+        if self.refit_quality(params) <= threshold:
+            return False
+        if params is not None:
+            self.set_params(jax.tree.map(np.asarray, params))
+        self._bvh_topo = None
+        self._flat_cache = None
+        self.prepare_accel()
+        return True
+
     def configure(self) -> "FlatScene":
         """Build + cache the flat scene at the current parameters."""
         self.prepare_accel()
@@ -411,8 +467,14 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 4096):
 
 
 def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
-                 tmax=None, sort_rays: bool = False):
-    """Backend dispatch for the detached closest-hit query."""
+                 tmax=None, sort_rays: bool = False, any_hit: bool = False):
+    """Backend dispatch for the detached closest-hit query.
+
+    ``any_hit=True`` (occlusion queries) lets the Pallas backend return any
+    hit inside [0, tmax) and terminate its triangle stream early once every
+    lane is decided; other backends ignore it (their closest hit is also a
+    valid any-hit answer).
+    """
     perm = inv = None
     q_o, q_d, q_act = ray.o, ray.d, active
     q_tmax = tmax
@@ -426,9 +488,9 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
         if flat.accel_kind == "bvh":
             hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act, tmax=q_tmax)
         elif flat.accel_kind == "pallas":
-            from ..accel.pallas_kernel import ray_intersect_pallas_culled
-            hit = ray_intersect_pallas_culled(flat.accel, q_o, q_d, q_act,
-                                              tmax=q_tmax)
+            from ..accel.pallas_kernel import ray_intersect_pallas_culled2
+            hit = ray_intersect_pallas_culled2(flat.accel, q_o, q_d, q_act,
+                                               tmax=q_tmax, any_hit=any_hit)
         else:
             hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
                                        tmax=q_tmax)
@@ -448,7 +510,7 @@ def ray_test(flat: FlatScene, ray: Ray, dist: jax.Array,
     closest-hit + distance-compare the reference uses."""
     from ..core.constants import ShadowEpsilon
     tmax = sg(dist) - ShadowEpsilon
-    hit = _closest_hit(flat, ray, active, tmax=tmax)
+    hit = _closest_hit(flat, ray, active, tmax=tmax, any_hit=True)
     return hit.valid & active
 
 

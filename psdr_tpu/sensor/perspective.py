@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.constants import Epsilon, EdgeEpsilon
+from ..core.constants import Epsilon, EdgeEpsilon, ShadowEpsilon
 from ..core import transform as xform
 from ..core.distribution import Discrete, discrete_init, discrete_sample_reuse
 from ..core.math import dot, norm, normalize, sqr
@@ -52,10 +52,12 @@ class PerspectiveCamera:
 
 
 class PrimaryEdgeInfo(NamedTuple):
-    """Screen-space silhouette candidates (edge/edge.h:27-42)."""
+    """Screen-space silhouette candidates (edge/edge.h:27-42). Endpoints
+    keep their sample-space depth (z) so the visibility-check ray can
+    recover the world-space edge point (edge.h:19-31 vis-check layout)."""
     valid: jax.Array        # (E,) bool
-    p0: jax.Array           # (E, 2) sample-plane coords, differentiable
-    p1: jax.Array           # (E, 2)
+    p0: jax.Array           # (E, 3) sample-plane coords + depth, differentiable
+    p1: jax.Array           # (E, 3)
     edge_normal: jax.Array  # (E, 2) detached
     edge_length: jax.Array  # (E,) detached screen-space length
     distrb: Discrete
@@ -133,10 +135,10 @@ def build_primary_edges(state: SensorState,
 
     p0w = vertex_positions[ei[:, 0]]
     p1w = vertex_positions[ei[:, 1]]
-    q0 = xform.transform_pos(state.world_to_sample, p0w)[..., :2]
-    q1 = xform.transform_pos(state.world_to_sample, p1w)[..., :2]
+    q0 = xform.transform_pos(state.world_to_sample, p0w)
+    q1 = xform.transform_pos(state.world_to_sample, p1w)
 
-    e = sg(q1) - sg(q0)
+    e = sg(q1)[..., :2] - sg(q0)[..., :2]
     length = norm(e)
     en = e / jnp.maximum(length, 1e-20)[..., None]
     edge_normal = jnp.stack([-en[..., 1], en[..., 0]], axis=-1)
@@ -193,7 +195,8 @@ def sample_primary_edge(state: SensorState, sample1: jax.Array) -> PrimaryEdgeSa
     ok = edges.valid[idx] & (edges.distrb.pmf[idx] > 0.0)
 
     en = edges.edge_normal[idx]
-    p_ = edges.p0[idx] * (1.0 - s)[..., None] + edges.p1[idx] * s[..., None]
+    p3 = edges.p0[idx] * (1.0 - s)[..., None] + edges.p1[idx] * s[..., None]
+    p_ = p3[..., :2]
     p = sg(p_)
     x_dot_n = dot(p_, en)
 
@@ -205,5 +208,11 @@ def sample_primary_edge(state: SensorState, sample1: jax.Array) -> PrimaryEdgeSa
     det_state = sg(state)
     ray_p = sample_primary_ray(det_state, p + EdgeEpsilon * en)
     ray_n = sample_primary_ray(det_state, p - EdgeEpsilon * en)
+    # visibility-check ray toward the edge point itself, bounded just short
+    # of it (perspective.cpp:192-197: conservative 100x ShadowEpsilon)
+    ray_c = sample_primary_ray(det_state, p)
+    q_world = xform.transform_pos(sg(state.sample_to_world), sg(p3))
+    vis_dist = norm(q_world - sg(state.camera_pos)) - 99.0 * ShadowEpsilon
     return PrimaryEdgeSample(idx=pix, x_dot_n=x_dot_n, ray_p=ray_p,
-                             ray_n=ray_n, pdf=pdf)
+                             ray_n=ray_n, pdf=pdf, ray_c=ray_c,
+                             vis_dist=vis_dist)

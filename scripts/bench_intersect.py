@@ -89,7 +89,8 @@ def main():
             line += (f"   cull(T={T},R={R}) {n_rays/t_c/1e6:8.2f}"
                      f" agree={agree:.4f}")
 
-        from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled
+        from psdr_tpu.accel.pallas_kernel import (
+            ray_intersect_pallas_culled, ray_intersect_pallas_culled2)
 
         def fused_pl(p0, e1, e2, o, d, topo=topo):
             bvh = refit_bvh(topo, p0, e1, e2)
@@ -99,6 +100,27 @@ def main():
         t_p, hp = bench(jax.jit(fused_pl), args)
         agree = float(np.mean(np.asarray(hb.tri_id) == np.asarray(hp.tri_id)))
         line += f"   pallas {n_rays/t_p/1e6:8.2f} agree={agree:.4f}"
+
+        for T, R in ((128, 512), (256, 1024)):
+            def fused_p2(p0, e1, e2, o, d, topo=topo, T=T, R=R):
+                bvh = refit_bvh(topo, p0, e1, e2)
+                return ray_intersect_pallas_culled2(bvh, o, d, tri_block=T,
+                                                    ray_block=R)
+
+            t_p2, hp2 = bench(jax.jit(fused_p2), args)
+            agree = float(np.mean(np.asarray(hb.tri_id)
+                                  == np.asarray(hp2.tri_id)))
+            line += (f"   pallas2(T={T},R={R}) {n_rays/t_p2/1e6:8.2f}"
+                     f" agree={agree:.4f}")
+
+        def fused_any(p0, e1, e2, o, d, topo=topo):
+            bvh = refit_bvh(topo, p0, e1, e2)
+            return ray_intersect_pallas_culled2(bvh, o, d, tri_block=128,
+                                                ray_block=512, any_hit=True)
+
+        t_a, ha = bench(jax.jit(fused_any), args)
+        agree = float(np.mean(np.asarray(hb.valid) == np.asarray(ha.valid)))
+        line += f"   pallas2-any {n_rays/t_a/1e6:8.2f} agree={agree:.4f}"
         print(line, flush=True)
 
 

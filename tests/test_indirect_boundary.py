@@ -119,7 +119,7 @@ def test_indirect_boundary_matches_fd():
     # without the indirect term: monkeypatch it off
     integ_no_ind = PathTracer(max_depth=2)
     integ_no_ind.render_indirect_edges = \
-        lambda sc, fl, sid, key: jnp.zeros((sc.opts.num_pixels, 3),
+        lambda sc, fl, sid, key, shard=None: jnp.zeros((sc.opts.num_pixels, 3),
                                            jnp.float32)
     ad_direct_only = _scalar_ad(scene, integ_no_ind, npass=24, seed0=500)
 
