@@ -43,10 +43,15 @@ class PathTracer(Integrator):
     estimator (camera hit + one bounce of lighting).
     """
 
-    def __init__(self, max_depth: int = 3, hide_emitters: bool = False):
-        assert max_depth >= 1
+    def __init__(self, max_depth: int = 3, hide_emitters: bool = False,
+                 camera_depth: int = 1):
+        """``camera_depth`` >= 2 adds the camera-side indirect boundary
+        estimators: discontinuities whose receiver point is seen through
+        up to camera_depth-1 extra bounces (BASELINE config 4)."""
+        assert max_depth >= 1 and camera_depth >= 1
         self.max_depth = max_depth
         self.hide_emitters = hide_emitters
+        self.camera_depth = camera_depth
         self.warpper: dict[int, object] = {}
         self.ind_warpper: dict[int, object] = {}
 
@@ -157,7 +162,214 @@ class PathTracer(Integrator):
             img = img + self.render_indirect_edges(scene, flat, sensor_id,
                                                    jax.random.fold_in(key, 7),
                                                    shard)
+        if self.camera_depth > 1:
+            # sensor-subpath estimators: (s>=2, t=1) and (s>=2, t>=2)
+            img = img + self.render_camera_edges(
+                scene, flat, sensor_id, jax.random.fold_in(key, 11), "emitter",
+                shard)
+            if self.max_depth > 1:
+                img = img + self.render_camera_edges(
+                    scene, flat, sensor_id, jax.random.fold_in(key, 13),
+                    "direction", shard)
         return img
+
+    def render_camera_edges(self, scene: Scene, flat: FlatScene,
+                            sensor_id: int, key: jax.Array, far: str,
+                            shard=None) -> jax.Array:
+        """Boundary contributions whose receiver is seen through >= 1 extra
+        bounce (sensor subpath length 2..camera_depth); each walk depth
+        splats its own camera connection."""
+        from ..core.math import scrub_nonfinite
+        from .base import accumulate_image, scan_lane_chunks, shard_lane_range
+
+        opts = scene.opts
+        num_pixels = opts.num_pixels
+        n = num_pixels * opts.sppse
+
+        def run_lanes(lane, key_c):
+            rng = RngStream(key_c, salt=5 if far == "emitter" else 6)
+            m = lane.shape[0]
+            sample3 = rng.next_3d(m)
+            sample3 = sample3[jnp.argsort(sample3[:, 0])]
+            splats = self.eval_secondary_edge_camera(scene, flat, sensor_id,
+                                                     sample3, rng, far)
+            img = jnp.zeros((num_pixels, 3), jnp.float32)
+            for pix, value in splats:
+                value = scrub_nonfinite(value)
+                if opts.sppse > 1:
+                    value = value / opts.sppse
+                img = img + accumulate_image(
+                    jnp.where((lane < n)[..., None], value, 0.0),
+                    jnp.where(lane < n, pix, -1), num_pixels)
+            return img
+
+        return scan_lane_chunks(run_lanes, n, num_pixels, key,
+                                opts.pass_lanes,
+                                shard and shard_lane_range(n, shard))
+
+    def eval_secondary_edge_camera(self, scene: Scene, flat: FlatScene,
+                                   sensor_id: int, sample3: jax.Array,
+                                   rng: RngStream, far: str):
+        """Sensor-subpath boundary estimator (s >= 2).
+
+        Mirrors eval_secondary_edge's boundary-segment geometry
+        (direct.cpp:224-316), but instead of requiring the receiver point
+        p1 to be directly visible from the camera, it runs a *detached*
+        importance walk from p1 (BSDF-sampled continuations with the
+        adjoint shading-normal correction) and attempts a camera connection
+        at each walk vertex q_k, k = 2..camera_depth — covering
+        discontinuities seen through reflections. Depth-1 connections are
+        intentionally absent (the s=1 estimators already cover them).
+
+        ``far`` selects the light side: "emitter" = emitter-sampled p2 with
+        full emission (t=1); "direction" = uniform-sphere direction with a
+        detached reflected-only radiance estimate (t >= 2), mirroring
+        eval_secondary_edge_indirect.
+
+        Returns a list of (pixel_idx, value) splats, one per walk depth.
+        """
+        from ..bsdf import eval_bsdf
+        from ..core import warp as warp_mod
+        from ..core.constants import Epsilon, EdgeEpsilon, ShadowEpsilon
+        from ..core.math import (bilinear, cross, norm, normalize,
+                                 ray_intersect_triangle, sign_eps)
+        from ..core.distribution import discrete_sample_reuse
+        from ..scene.scene import sample_boundary_segment_direct
+        from ..sensor.perspective import sample_direct, sample_primary_ray
+        from ..shape.mesh import SecondaryEdgeInfo
+
+        kinds = scene.bsdf_kinds
+        emeta = _emitter_meta(scene)
+        offsets = scene.face_offset
+        sensor = flat.sensors[sensor_id]
+        flat_det = jax.tree.map(
+            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        bsdfs_det = jax.tree.map(sg, flat.bsdfs)
+        m = sample3.shape[0]
+
+        if far == "emitter":
+            bss = sample_boundary_segment_direct(flat, offsets, emeta,
+                                                 sample3,
+                                                 jnp.ones((m,), bool))
+            valid = bss.valid
+            p0, edge, edge2 = bss.p0, bss.edge, bss.edge2
+            _p0 = sg(p0)
+            _dir = normalize(sg(bss.p2) - _p0)
+            pdf = bss.pdf
+            # visibility p0 -> p2 + differentiable far triangle
+            its2_full, tri_info = ray_intersect(flat, Ray(_p0, _dir), valid,
+                                                path_space=True,
+                                                want_tri_info=True)
+            _its2 = jax.tree.map(sg, its2_full)
+            valid = (valid & _its2.valid
+                     & (norm(_its2.p - sg(bss.p2)) < ShadowEpsilon))
+            L = sg(scene_le(flat, _its2, valid))
+            far_n = sg(bss.n)
+        else:
+            edge_idx, pdf0, s1 = discrete_sample_reuse(flat.sec_distrb,
+                                                       sample3[..., 0])
+            info: SecondaryEdgeInfo = jax.tree.map(lambda a: a[edge_idx],
+                                                   flat.sec_edge)
+            ok = info.valid & (flat.sec_distrb.pmf[edge_idx] > 0.0)
+            p0 = info.p0 + info.e1 * s1[..., None]
+            edge = normalize(sg(info.e1))
+            edge2 = sg(info.p2) - sg(info.p0)
+            pdf0 = pdf0 / jnp.maximum(norm(sg(info.e1)), 1e-20)
+            _dir = warp_mod.square_to_uniform_sphere(sample3[..., 1:3])
+            pdf = pdf0 / (4.0 * jnp.pi)
+            sgn0 = sign_eps(dot(sg(info.n0), _dir), EdgeEpsilon)
+            sgn1 = sign_eps(dot(sg(info.n1), _dir), EdgeEpsilon)
+            boundary = sg(info.is_boundary)
+            valid = ok & jnp.where(boundary, sgn0 != 0, sgn0 * sgn1 < 0)
+            _p0 = sg(p0)
+            its2_full, tri_info = ray_intersect(flat, Ray(_p0, _dir), valid,
+                                                path_space=True,
+                                                want_tri_info=True)
+            _its2 = jax.tree.map(sg, its2_full)
+            valid = valid & _its2.valid
+            far_n = _its2.n
+            helper = PathTracer(max_depth=max(1, self.max_depth - 1),
+                                hide_emitters=True)
+            L = sg(helper.Li(scene, flat_det, rng, Ray(_p0, _dir), valid))
+
+        # sensor-side anchor p1
+        _its1 = jax.tree.map(sg, ray_intersect(flat, Ray(_p0, -_dir), valid,
+                                               path_space=True))
+        valid = valid & _its1.valid & (_its1.bsdf_id >= 0)
+        _p1 = _its1.p
+        _p2 = _its2.p
+
+        # edge-local geometric kernel (direct.cpp:266-274): base_v's t is
+        # _its1.t = |p0 - p1|, the edge-to-receiver distance — a property
+        # of the boundary segment alone, independent of the sensor subpath
+        dist = norm(_p2 - _p1)
+        cos2 = jnp.abs(dot(far_n, -_dir))
+        e = cross(edge, _dir)
+        sinphi = norm(e)
+        proj = normalize(cross(e, far_n))
+        sinphi2 = norm(cross(_dir, proj))
+        valid = valid & (sinphi > Epsilon) & (sinphi2 > Epsilon)
+        kernel = _mdiv(sinphi, sinphi2, valid) * cos2
+        kernel = _mdiv(kernel, pdf, valid & (pdf > 0.0))
+
+        # AD normal-velocity factor, anchored at the detached p1
+        nrm = normalize(cross(far_n, proj))
+        sign_f = jnp.sign(dot(e, edge2)) * jnp.sign(dot(e, nrm))
+        v0, te1, te2 = tri_info.p0, tri_info.e1, tri_info.e2
+        sh_dir = normalize(p0 - _p1)
+        uv, _ = ray_intersect_triangle(v0, te1, te2, _p1, sh_dir)
+        u2 = bilinear(sg(v0), sg(te1), sg(te2), uv)
+        ad_term = dot(sg(nrm), u2)
+
+        def adjoint_bsdf(its, wo_world, active):
+            """f * cos(wo) with the adjoint shading-normal correction
+            (direct.cpp:277-294 applied at every sensor-subpath vertex)."""
+            wo_local = to_local(its.sh_frame, wo_world)
+            f = eval_bsdf(kinds, bsdfs_det, its, wo_local, active)
+            inc_world = to_world(its.sh_frame, its.wi)
+            num = its.wi[..., 2] * dot(wo_world, its.n)
+            den = wo_local[..., 2] * dot(inc_world, its.n)
+            corr = jnp.abs(_mdiv(num, den, active & (den != 0.0)))
+            return f * corr[..., None]
+
+        kernel = kernel * _mdiv(_its1.t, dist, valid)
+
+        splats = []
+        its_cur = _its1
+        thr = jnp.ones((m, 3), jnp.float32)
+        walk_valid = valid
+        for step in range(2, self.camera_depth + 1):
+            bs = sample_bsdf(kinds, bsdfs_det, its_cur, rng.next_3d(m),
+                             walk_valid)
+            walk_valid = walk_valid & bs.valid & (bs.pdf > 0.0)
+            wo_world = to_world(its_cur.sh_frame, bs.wo)
+            f_step = adjoint_bsdf(its_cur, wo_world, walk_valid)
+            thr = thr * _mdiv(f_step, bs.pdf[..., None],
+                              (walk_valid & (bs.pdf > 0.0))[..., None])
+            its_next = jax.tree.map(sg, ray_intersect(
+                flat, Ray(its_cur.p, wo_world), walk_valid,
+                path_space=True))
+            walk_valid = walk_valid & its_next.valid & (its_next.bsdf_id >= 0)
+            its_cur = its_next
+
+            # camera connection at q_step
+            sds = sample_direct(sensor, its_cur.p)
+            con_valid = walk_valid & sds.valid
+            camera_ray = sample_primary_ray(sensor, sds.q)
+            itsc = ray_intersect(flat, camera_ray, con_valid,
+                                 path_space=False)
+            con_valid = (con_valid & itsc.valid
+                         & (norm(sg(itsc.p) - its_cur.p) < ShadowEpsilon))
+            f_cam = adjoint_bsdf(its_cur, -sg(camera_ray.d), con_valid)
+
+            value0 = (thr * f_cam * L
+                      * (kernel * sds.sensor_val * sign_f)[..., None])
+            value0 = jnp.where(con_valid[..., None], value0, 0.0)
+            result = sg(value0) * ad_term[..., None]
+            result = jnp.where(con_valid[..., None], result, 0.0)
+            pix = jnp.where(con_valid, sds.pixel_idx, -1)
+            splats.append((pix, result - sg(result)))
+        return splats
 
     def render_indirect_edges(self, scene: Scene, flat: FlatScene,
                               sensor_id: int, key: jax.Array,

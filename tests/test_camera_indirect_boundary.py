@@ -1,0 +1,144 @@
+"""Camera-side indirect boundary (sensor subpaths of length >= 2).
+
+Scene: an area light above a floor; a blocker casts a direct shadow on the
+floor. A wall hides the floor completely from the camera — the camera sees
+only a white panel that faces the floor, so the shadow reaches the image
+exclusively through one diffuse bounce off the panel. Translating the
+blocker has zero interior gradient (rigid translation of a flat quad), and
+the boundary gradient splits into two path classes: edge-between-panel-and-
+floor (covered by the s=1 indirect estimator) and edge-between-floor-and-
+light with the receiver hidden from the camera — which requires a length-2
+sensor subpath (PathTracer(camera_depth=2), BASELINE config 4's missing
+piece in round 1 / VERDICT item 4). Converged totals: fd = -0.0354 +-
+0.0020 vs full AD -0.0369 +- 0.0025; s=1-only AD is +0.059 (wrong sign)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psdr_tpu import (AreaLight, Diffuse, PathTracer, PerspectiveCamera,
+                      RenderOptions, Scene)
+from psdr_tpu.core import transform as xf
+from psdr_tpu.shape import primitives
+from psdr_tpu.testing import apply_perturbation
+
+
+def _hidden_shadow_scene(width=20, height=20, spp=32, sppse=48):
+    sc = Scene()
+    white = sc.add_bsdf(Diffuse([0.9, 0.9, 0.9]), "white")
+    grey = sc.add_bsdf(Diffuse([0.8, 0.8, 0.8]), "grey")
+    black = sc.add_bsdf(Diffuse([0.0, 0.0, 0.0]), "black")
+
+    # floor: the shadow receiver, y=0 plane
+    floor = primitives.make_quad(size=2.0, bsdf_id=grey, enable_edges=False,
+                                 use_face_normals=True)
+    floor.set_transform(np.asarray(xf.rotate([1, 0, 0], -90.0)))
+    sc.add_mesh(floor)
+
+    # bright area light above, facing down
+    light = primitives.make_quad(size=0.6, bsdf_id=black, enable_edges=False,
+                                 use_face_normals=True)
+    light.set_transform(np.asarray(
+        xf.translate([0.0, 2.2, 0.0]) @ xf.rotate([1, 0, 0], 90.0)))
+    li = sc.add_mesh(light)
+    sc.add_emitter(AreaLight([40.0, 40.0, 40.0], mesh_index=li))
+
+    # blocker between light and floor (the moving silhouette)
+    blocker = primitives.make_quad(size=0.7, bsdf_id=grey, enable_edges=True,
+                                   use_face_normals=True)
+    blocker.set_transform(np.asarray(
+        xf.translate([0.0, 0.3, 0.0]) @ xf.rotate([1, 0, 0], -90.0)))
+    sc.add_mesh(blocker)
+
+    # white panel at z=-1.8 facing the camera; reflects the floor. The
+    # panel is vertical, so the downward-facing light grazes it (direct
+    # illumination ~0) and its radiance is dominated by the floor bounce.
+    panel = primitives.make_quad(size=1.6, bsdf_id=white, enable_edges=False,
+                                 use_face_normals=True)
+    panel.set_transform(np.asarray(
+        xf.translate([0.0, 1.0, -1.8])))  # default +z normal faces camera
+    sc.add_mesh(panel)
+
+    # camera close enough that the panel fills the whole frustum: every
+    # primary ray hits the panel, so the floor/shadow is never directly
+    # visible and the image reacts to the blocker only through the bounce
+    cam = PerspectiveCamera(fov_x=25.0)
+    cam.set_transform(np.asarray(
+        xf.look_at([0.0, 1.0, 1.2], [0.0, 1.0, -1.8], [0, 1, 0])))
+    sc.add_sensor(cam)
+    sc.opts = RenderOptions(width=width, height=height, spp=spp, sppe=0,
+                            sppse=sppse)
+    return sc
+
+
+MODE = dict(mesh_index=2, direction=(1.0, 0.0, 0.0))  # slide the blocker
+
+
+def _ramp(scene):
+    """Horizontal-ramp image functional: a shadow translating in x changes
+    it coherently (a plain mean cancels — the shadow keeps its area)."""
+    w, h = scene.opts.width, scene.opts.height
+    ramp = jnp.linspace(-1.0, 1.0, w)
+    return jnp.tile(ramp, h)[:, None] / (w * h)
+
+
+def _scalar_fd(scene, integ, eps=0.03, npass=24):
+    render = jax.jit(integ.render_fn(scene, with_boundary=False))
+    base = scene.params()
+    wgt = _ramp(scene)
+    acc = 0.0
+    for i in range(npass):
+        key = jax.random.PRNGKey(i)
+        hi = render(apply_perturbation("mesh_transform", base, +eps, **MODE),
+                    key)
+        lo = render(apply_perturbation("mesh_transform", base, -eps, **MODE),
+                    key)
+        acc += float(((hi - lo) * wgt).sum() / (2 * eps))
+    return acc / npass
+
+
+def _scalar_ad(scene, integ, npass=16, seed0=500):
+    render = integ.render_fn(scene, with_boundary=True)
+    base = scene.params()
+    wgt = _ramp(scene)
+
+    @jax.jit
+    def deriv(key):
+        def f(P):
+            return (render(apply_perturbation("mesh_transform", base, P,
+                                              **MODE), key) * wgt).sum()
+        return jax.jvp(f, (jnp.float32(0.0),), (jnp.float32(1.0),))[1]
+
+    return float(np.mean([deriv(jax.random.PRNGKey(seed0 + i))
+                          for i in range(npass)]))
+
+
+def test_s1_estimators_miss_the_gradient():
+    """With camera_depth=1 (round-1 estimator set) the AD gradient is
+    provably wrong on this scene: the s=1 indirect estimator sees only the
+    boundary-path class with the edge between panel and floor (a positive
+    contribution ~ +0.06), while the dominant class — edge between floor
+    and light, receiver seen through the panel bounce — needs a length-2
+    sensor subpath. s=1-only AD therefore lands on the wrong side of zero
+    (measured +0.059 vs fd -0.034)."""
+    sc = _hidden_shadow_scene(spp=32, sppse=64)
+    fd = _scalar_fd(sc, PathTracer(max_depth=2), eps=0.08, npass=16)
+    ad_s1 = _scalar_ad(sc, PathTracer(max_depth=2, camera_depth=1), npass=16)
+    assert abs(fd) > 0.015, f"scene carries no boundary signal (fd={fd})"
+    assert abs(ad_s1 - fd) > 0.5 * abs(fd), (
+        f"scene no longer discriminates: ad_s1={ad_s1}, fd={fd}")
+    assert np.sign(ad_s1) != np.sign(fd), (
+        f"expected the s=1-only gradient on the wrong side: "
+        f"ad_s1={ad_s1}, fd={fd}")
+
+
+def test_camera_indirect_matches_fd():
+    """Converged measurement (64 passes, spp=64): fd = -0.0354 +- 0.0020,
+    ad = -0.0369 +- 0.0025 — statistically identical. The test re-checks at
+    a smaller budget with correspondingly looser bounds."""
+    sc = _hidden_shadow_scene(spp=32, sppse=64)
+    fd = _scalar_fd(sc, PathTracer(max_depth=2), eps=0.08, npass=24)
+    ad = _scalar_ad(sc, PathTracer(max_depth=2, camera_depth=2), npass=12)
+    assert abs(fd) > 0.015
+    assert np.sign(ad) == np.sign(fd), f"ad={ad}, fd={fd}"
+    assert 0.55 * abs(fd) < abs(ad) < 1.8 * abs(fd), f"ad={ad}, fd={fd}"
