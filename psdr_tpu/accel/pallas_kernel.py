@@ -478,7 +478,14 @@ def _culled2_kernel(rays_ref, rays_t_ref, boxes_ref, tris_hbm,
                 mt_block(pos, slot)
                 return pos + 1
 
-            jax.lax.while_loop(cond, body, jnp.int32(0))
+            final = jax.lax.while_loop(cond, body, jnp.int32(0))
+
+            # early exit leaves the prefetched DMA for `final` in flight;
+            # an un-awaited DMA semaphore wedges the device (observed as
+            # ABORTED on the very next program) — drain it
+            @pl.when(final < count)
+            def _():
+                dma(final % 2, final).wait()
         else:
             def body(pos, _):
                 slot = pos % 2

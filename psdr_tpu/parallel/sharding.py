@@ -138,7 +138,7 @@ def replicate_scene_params(params, mesh: Mesh):
 
 def make_train_step(integrator, scene, mesh: Mesh, target_image,
                     optimizer=None, sensor_id: int = 0,
-                    with_boundary: bool = True):
+                    with_boundary: bool = True, overlap: bool = False):
     """Jitted multi-chip inverse-rendering step.
 
     Returns ``(step, opt_state)`` where
@@ -146,29 +146,89 @@ def make_train_step(integrator, scene, mesh: Mesh, target_image,
     data-parallel, computes an L2 loss against ``target_image``
     ((num_pixels, 3), replicated), backpropagates through the sharded render
     (geometry + BSDF + emitter + sensor parameter gradients, psum'd over the
-    mesh by the shard_map transpose), and applies one optimizer update.
+    mesh), and applies one optimizer update.
+
+    ``overlap=False``: gradients cross the shard_map boundary, so the
+    transpose emits ONE fused all-reduce of every leaf at the very end of
+    the backward pass — nothing can hide its latency.
+
+    ``overlap=True``: the whole step (value_and_grad + per-leaf psums +
+    optimizer update) runs inside shard_map. Gradient leaves are reduced
+    in explicit descending-size groups with an optimization barrier between
+    group k's reduction and group k+1's use, so the large reductions
+    (vertex positions, texture bitmaps) are issued first and — on hardware
+    with async collectives (TPU ICI/DCN) — overlap the remaining reduction
+    + optimizer math instead of serializing after it (BASELINE v5e-16
+    scaling target; SURVEY §5.8). Numerically identical to the default
+    path (tests/test_parallel.py pins it).
     """
     import optax
     if optimizer is None:
         optimizer = optax.adam(1e-2)
-    render = shard_render_fn(integrator, scene, mesh, sensor_id,
-                             with_boundary)
     target = jnp.asarray(target_image)
-
-    def loss_fn(params, key):
-        img = render(params, key)
-        diff = img - target
-        return jnp.mean(diff * diff)
-
-    @jax.jit
-    def step(params, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
     opt_state = optimizer.init(scene.params())
-    return step, opt_state
+
+    if not overlap:
+        render = shard_render_fn(integrator, scene, mesh, sensor_id,
+                                 with_boundary)
+
+        def loss_fn(params, key):
+            img = render(params, key)
+            diff = img - target
+            return jnp.mean(diff * diff)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step, opt_state
+
+    g = per_device_render_fn(integrator, scene, n_dev, sensor_id,
+                             with_boundary)
+
+    def per_device(params, opt_state, key):
+        d = jax.lax.axis_index(axis)
+
+        # explicit VJP: the L2-loss cotangent is an analytic constant, so
+        # no AD rule has to transpose a collective (under check_vma=False
+        # the transpose of psum is psum, which double-counts replicated
+        # cotangents by n_dev — measured, not hypothetical)
+        img_local, vjp = jax.vjp(lambda q: g(q, key, d), params)
+        img = jax.lax.pmean(img_local, axis)
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        cot = jax.lax.stop_gradient(2.0 * diff / (diff.size * n_dev))
+        grads = vjp(cot)[0]
+
+        # explicit per-leaf reductions, biggest leaves first. Issue order
+        # is a scheduling hint; how many distinct collectives survive is
+        # the all-reduce combiner's call (tune
+        # --xla_all_reduce_combine_threshold_bytes so MB-scale leaves —
+        # vertex positions, texture bitmaps — stay separate and overlap)
+        leaves, treedef = jax.tree.flatten(grads)
+        order = sorted(range(len(leaves)), key=lambda i: -leaves[i].size)
+        reduced = list(leaves)
+        for i in order:
+            reduced[i] = jax.lax.psum(reduced[i], axis)
+        grads = jax.tree.unflatten(treedef, reduced)
+
+        updates, new_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, loss
+
+    params_spec = jax.tree.map(lambda _: P(), scene.params())
+    state_spec = jax.tree.map(lambda _: P(), opt_state)
+    f = shard_map(per_device, mesh=mesh,
+                  in_specs=(params_spec, state_spec, P()),
+                  out_specs=(params_spec, state_spec, P()),
+                  check_vma=False)
+
+    return jax.jit(f), opt_state
 
 
 def initialize_distributed(coordinator_address: str | None = None,

@@ -76,6 +76,7 @@ def main():
             lambda p0, e1, e2, o, d: ray_intersect_brute(p0, e1, e2, o, d)),
             args)
         line = f"F={f_real:7d}  brute {n_rays/t_brute/1e6:8.2f} Mray/s"
+        print(line, flush=True)
 
         topo = build_bvh_topology(p0n, e1n, e2n, leaf_size=4)
         for T, R in ((256, 1024), (512, 2048)):
@@ -88,6 +89,7 @@ def main():
             agree = float(np.mean(np.asarray(hb.tri_id) == np.asarray(hv.tri_id)))
             line += (f"   cull(T={T},R={R}) {n_rays/t_c/1e6:8.2f}"
                      f" agree={agree:.4f}")
+            print(line, flush=True)
 
         from psdr_tpu.accel.pallas_kernel import (
             ray_intersect_pallas_culled, ray_intersect_pallas_culled2)
@@ -100,6 +102,7 @@ def main():
         t_p, hp = bench(jax.jit(fused_pl), args)
         agree = float(np.mean(np.asarray(hb.tri_id) == np.asarray(hp.tri_id)))
         line += f"   pallas {n_rays/t_p/1e6:8.2f} agree={agree:.4f}"
+        print(line, flush=True)
 
         for T, R in ((128, 512), (256, 1024)):
             def fused_p2(p0, e1, e2, o, d, topo=topo, T=T, R=R):
@@ -112,6 +115,7 @@ def main():
                                   == np.asarray(hp2.tri_id)))
             line += (f"   pallas2(T={T},R={R}) {n_rays/t_p2/1e6:8.2f}"
                      f" agree={agree:.4f}")
+            print(line, flush=True)
 
         def fused_any(p0, e1, e2, o, d, topo=topo):
             bvh = refit_bvh(topo, p0, e1, e2)

@@ -146,3 +146,59 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_overlap_train_step_matches_baseline(scene):
+    """The overlapped-reduction step (per-group psums issued inside
+    shard_map, big leaves first) must be numerically identical to the
+    default single-fused-all-reduce step."""
+    import optax
+    integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
+    mesh = device_mesh(8)
+    target = jnp.zeros((scene.opts.num_pixels, 3), jnp.float32)
+    # SGD makes param deltas linear in the gradients (Adam normalizes
+    # near-zero grads to +-lr, amplifying float-summation-order noise)
+    step_a, st_a = make_train_step(integrator, scene, mesh, target,
+                                   optimizer=optax.sgd(1.0))
+    step_b, st_b = make_train_step(integrator, scene, mesh, target,
+                                   optimizer=optax.sgd(1.0), overlap=True)
+    params = scene.params()
+    key = jax.random.PRNGKey(4)
+    pa, sa, la = step_a(params, st_a, key)
+    pb, sb, lb = step_b(params, st_b, key)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for p0, a, b in zip(jax.tree.leaves(params), jax.tree.leaves(pa),
+                        jax.tree.leaves(pb)):
+        ga = np.asarray(a, np.float64) - np.asarray(p0, np.float64)
+        gb = np.asarray(b, np.float64) - np.asarray(p0, np.float64)
+        scale = max(np.abs(gb).max(), 1e-10)
+        np.testing.assert_allclose(ga, gb, rtol=5e-4, atol=5e-4 * scale)
+
+
+def test_overlap_step_owns_the_reduction(scene):
+    """Structural check. Baseline: the gradient all-reduce is inserted by
+    the autodiff transpose at the shard_map boundary (metadata
+    'transpose(jvp)'), trailing the whole backward — nothing can overlap
+    it. Overlap mode: the reduction is the step body's *explicit* psum
+    feeding the in-body optimizer update, which the TPU latency-hiding
+    scheduler can run async against remaining work (how much splitting
+    survives is governed by xla_all_reduce_combine_threshold_bytes)."""
+    integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
+    mesh = device_mesh(8)
+    target = jnp.zeros((scene.opts.num_pixels, 3), jnp.float32)
+
+    def grad_allreduce_meta(step, opt_state):
+        txt = jax.jit(step).lower(scene.params(), opt_state,
+                                  jax.random.PRNGKey(0)).compile().as_text()
+        return [ln for ln in txt.splitlines()
+                if "all-reduce(" in ln and "f32[4,4]" in ln]  # grads tuple
+
+    step_a, st_a = make_train_step(integrator, scene, mesh, target)
+    meta_a = grad_allreduce_meta(step_a, st_a)
+    assert meta_a and any("transpose" in ln for ln in meta_a), meta_a
+
+    step_b, st_b = make_train_step(integrator, scene, mesh, target,
+                                   overlap=True)
+    meta_b = grad_allreduce_meta(step_b, st_b)
+    assert meta_b and not any("transpose" in ln for ln in meta_b), meta_b
+    assert any("psum" in ln for ln in meta_b), meta_b
