@@ -347,8 +347,8 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
 # once every active lane is decided (shadow rays, scene.py ray_test).
 # ---------------------------------------------------------------------------
 
-def _culled2_kernel(rays_ref, rays_t_ref, boxes_ref, tris_hbm,
-                    out_ref, occtn_v, occtn_smem, list_smem, tns_smem,
+def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
+                    out_ref, occtn_v, occtn_smem,
                     osem, scratch, sems, *,
                     tri_block, b_pad, cull_chunk, any_hit):
     T = tri_block
@@ -360,58 +360,101 @@ def _culled2_kernel(rays_ref, rays_t_ref, boxes_ref, tris_hbm,
     out_ref[2, :] = jnp.zeros_like(rays_ref[0, :])
     out_ref[3, :] = jnp.zeros_like(rays_ref[0, :])
 
-    # --- phase A: in-kernel cull ------------------------------------------
-    o = [rays_t_ref[:, c:c + 1] for c in range(3)]      # (R, 1)
-    d = [rays_t_ref[:, 3 + c:4 + c] for c in range(3)]
-    act = rays_t_ref[:, 7:8] > 0.0
-    tmax_r = rays_t_ref[:, 6:7]
-    inv = [1.0 / jnp.where(jnp.abs(dc) < 1e-20,
-                           jnp.where(dc < 0, -1e-20, 1e-20), dc) for dc in d]
+    # --- phase A: conservative interval cull -------------------------------
+    # Bound the whole ray block (origin box, per-axis direction range, max
+    # tmax over active lanes) and interval-slab-test it against every leaf
+    # block: O(B) work instead of O(R*B), sound by interval arithmetic
+    # (direction components straddling zero widen that axis to (-inf, inf)).
+    actm = rays_ref[7:8, :] > 0.0
+    big = jnp.float32(3e38)
+
+    def lane_min(row):
+        return jnp.min(jnp.where(actm, row, big))
+
+    def lane_max(row):
+        return jnp.max(jnp.where(actm, row, -big))
+
+    o_lo = [lane_min(rays_ref[c:c + 1, :]) for c in range(3)]
+    o_hi = [lane_max(rays_ref[c:c + 1, :]) for c in range(3)]
+    d_lo = [lane_min(rays_ref[3 + c:4 + c, :]) for c in range(3)]
+    d_hi = [lane_max(rays_ref[3 + c:4 + c, :]) for c in range(3)]
+    tmax_hi = lane_max(rays_ref[6:7, :])
+    any_active = jnp.max(actm.astype(jnp.float32)) > 0.0
 
     def cull_chunk_body(c, _):
         s = pl.ds(c * cull_chunk, cull_chunk)
-        tn = jnp.full((R, cull_chunk), RayEpsilon)
-        tf = jnp.broadcast_to(tmax_r, (R, cull_chunk))
+        tn_lo = jnp.full((1, cull_chunk), RayEpsilon)
+        tf_hi = jnp.full((1, cull_chunk), tmax_hi)
         for k in range(3):
             lo = boxes_ref[k:k + 1, s]
             hi = boxes_ref[3 + k:4 + k, s]
-            t0 = (lo - o[k]) * inv[k]
-            t1 = (hi - o[k]) * inv[k]
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hitm = (tn <= tf) & act & (boxes_ref[6:7, s] > 0.0)
-        occtn_v[0:1, s] = jnp.max(hitm.astype(jnp.float32), axis=0,
-                                  keepdims=True)
-        occtn_v[1:2, s] = jnp.min(jnp.where(hitm, tn, float("inf")),
-                                  axis=0, keepdims=True)
+            # slab-coordinate intervals: (slab - o) * (1/d) over the block
+            a_lo = lo - o_hi[k]
+            a_hi = lo - o_lo[k]
+            b_lo = hi - o_hi[k]
+            b_hi = hi - o_lo[k]
+            straddles = (d_lo[k] < 1e-20) & (d_hi[k] > -1e-20)
+            i_lo = 1.0 / jnp.where(d_hi[k] == 0.0, -1e-20, d_hi[k])
+            i_hi = 1.0 / jnp.where(d_lo[k] == 0.0, 1e-20, d_lo[k])
+            # extreme products of {a_lo..b_hi} x {i_lo, i_hi}
+            cands = [a_lo * i_lo, a_lo * i_hi, a_hi * i_lo, a_hi * i_hi,
+                     b_lo * i_lo, b_lo * i_hi, b_hi * i_lo, b_hi * i_hi]
+            t_lo = cands[0]
+            t_hi = cands[0]
+            for t in cands[1:]:
+                t_lo = jnp.minimum(t_lo, t)
+                t_hi = jnp.maximum(t_hi, t)
+            t_lo = jnp.where(straddles, -big, t_lo)
+            t_hi = jnp.where(straddles, big, t_hi)
+            tn_lo = jnp.maximum(tn_lo, t_lo)
+            tf_hi = jnp.minimum(tf_hi, t_hi)
+        hitm = (tn_lo <= tf_hi) & (boxes_ref[6:7, s] > 0.0) & any_active
+        occtn_v[0:1, s] = hitm.astype(jnp.float32)
+        occtn_v[1:2, s] = jnp.where(hitm, jnp.maximum(tn_lo, RayEpsilon),
+                                    float("inf"))
         return 0
 
     jax.lax.fori_loop(0, b_pad // cull_chunk, cull_chunk_body, 0)
 
-    # --- phase B: occupancy -> SMEM, scalar compaction --------------------
+    # --- phase B: prefix-sum compaction (MXU) -----------------------------
+    # inclusive prefix of the occupancy row via a lower-triangular ones
+    # matmul: prefix[k] = sum_{j<=k} occ[j]; the pos-th occupied block id
+    # is then recovered in the stream loop with a binary search over the
+    # SMEM prefix (log2(B) scalar reads, vs a B-iteration scalar scan)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 1)
+    lower_tri = (rows <= cols).astype(jnp.float32)
+    occtn_v[0:1, :] = jax.lax.dot_general(
+        occtn_v[0:1, :], lower_tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     cp = pltpu.make_async_copy(occtn_v, occtn_smem, osem)
     cp.start()
     cp.wait()
+    count = occtn_smem[0, b_pad - 1].astype(jnp.int32)
 
-    def compact(j, k):
-        occ = occtn_smem[0, j] > 0.0
+    # enough halvings to shrink [0, b_pad] to a single index (one more
+    # than log2(b_pad): the final width-1 interval still needs a probe)
+    n_steps = max(1, b_pad.bit_length())
 
-        @pl.when(occ)
-        def _():
-            list_smem[0, k] = j
-            tns_smem[0, k] = occtn_smem[1, j]
-
-        return k + jnp.where(occ, 1, 0)
-
-    count = jax.lax.fori_loop(0, b_pad, compact, jnp.int32(0))
+    def nth_occupied(pos):
+        """Smallest j with prefix[j] >= pos + 1."""
+        target = jnp.asarray(pos + 1, jnp.float32)
+        lo = jnp.int32(0)
+        hi = jnp.int32(b_pad)
+        for _ in range(n_steps):
+            mid = (lo + hi) // 2
+            go_right = occtn_smem[0, mid] < target
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        return lo
 
     # --- phase C: double-buffered triangle stream -------------------------
     def dma(slot, pos):
-        return pltpu.make_async_copy(tris_hbm.at[list_smem[0, pos]],
+        return pltpu.make_async_copy(tris_hbm.at[nth_occupied(pos)],
                                      scratch.at[slot], sems.at[slot])
 
     def mt_block(pos, slot):
-        b = list_smem[0, pos]
+        b = nth_occupied(pos)
         ox, oy, oz = (rays_ref[k:k + 1, :] for k in range(3))
         dx, dy, dz = (rays_ref[k:k + 1, :] for k in range(3, 6))
         active = rays_ref[7:8, :] > 0.0
@@ -499,7 +542,7 @@ def _culled2_kernel(rays_ref, rays_t_ref, boxes_ref, tris_hbm,
                 t_worst = jnp.max(
                     jnp.where(rays_ref[7:8, :] > 0.0, out_ref[0:1, :], 0.0))
 
-                @pl.when(tns_smem[0, pos] <= t_worst)
+                @pl.when(occtn_smem[1, nth_occupied(pos)] <= t_worst)
                 def _():
                     mt_block(pos, slot)
 
@@ -557,8 +600,6 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         _pad_to(tmax, r_pad, value=0.0),
         _pad_to(active.astype(jnp.float32), r_pad),
     ])                                                  # (8, r_pad)
-    rays_t = rays.T                                     # (r_pad, 8)
-
     # (8, b_pad): lo.xyz, hi.xyz, mask, pad
     boxes = jnp.concatenate([
         jnp.pad(blocks.T, ((0, 0), (0, b_pad - n_blocks))),
@@ -574,7 +615,6 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         grid=(n_rblocks,),
         in_specs=[
             pl.BlockSpec((8, rb), lambda i: (0, i)),
-            pl.BlockSpec((rb, 8), lambda i: (i, 0)),
             pl.BlockSpec((8, b_pad), lambda i: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -582,14 +622,12 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, b_pad), jnp.float32),
             pltpu.SMEM((2, b_pad), jnp.float32),
-            pltpu.SMEM((1, b_pad), jnp.int32),
-            pltpu.SMEM((1, b_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((2, 16, T), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rays, rays_t, boxes, tri_rows)
+    )(rays, boxes, tri_rows)
 
     t = out[0, :n_rays]
     slot = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
