@@ -336,21 +336,24 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
 # ---------------------------------------------------------------------------
 # v2: the cull lives inside the kernel.
 #
-# One grid step per ray block. Phase A slab-tests the whole block against
-# every leaf-block AABB in VMEM ((R, CB) tiles, no HBM temporaries — the
-# XLA-side cull materialized (n_rblocks, R, B) tensors). Phase B copies the
-# occupancy/entry-depth rows to SMEM and compacts the occupied block ids
-# with a scalar loop. Phase C is the double-buffered triangle-stream MT
-# loop, now with (a) a per-block depth skip — a block whose conservative
-# entry depth exceeds the worst active lane's current best hit cannot
-# improve anything — and (b), in any-hit mode, a whole-block early exit
-# once every active lane is decided (shadow rays, scene.py ray_test).
+# One grid step per ray block. Phase A interval-slab-tests the whole ray
+# block's bounds against every leaf-block AABB in VMEM (O(B) work, no HBM
+# temporaries — the XLA-side cull materialized (n_rblocks, R, B) tensors).
+# Phase B compacts the occupancy row with an MXU prefix sum. Phase C is the
+# double-buffered triangle-stream MT loop, with (a) a per-lane slab refine —
+# each streamed block's AABB (scalar reads from SMEM) is slab-tested against
+# every lane bounded by that lane's *current best t*, and the whole MT tile
+# is skipped when no lane can improve (recovers per-ray cull precision that
+# the interval test over-approximates, at ~0.5% of the tile's cost) — and
+# (b), in any-hit mode, a whole-block early exit once every active lane is
+# decided (shadow rays, scene.py ray_test).
 # ---------------------------------------------------------------------------
 
 def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
-                    out_ref, occtn_v, occtn_smem,
-                    osem, scratch, sems, *,
-                    tri_block, b_pad, cull_chunk, any_hit):
+                    out_ref, occ_v, occ_smem, boxes_smem,
+                    osem, bsem, scratch, sems, *,
+                    tri_block, b_pad, cull_chunk, any_hit,
+                    debug_counters=False):
     T = tri_block
     R = rays_ref.shape[1]
 
@@ -359,6 +362,10 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
         jnp.full_like(rays_ref[0:1, :], -1, jnp.int32), jnp.float32)
     out_ref[2, :] = jnp.zeros_like(rays_ref[0, :])
     out_ref[3, :] = jnp.zeros_like(rays_ref[0, :])
+    if debug_counters:
+        # rows 4/5: MT tiles executed / candidate blocks, per ray block
+        out_ref[4, :] = jnp.zeros_like(rays_ref[0, :])
+        out_ref[5, :] = jnp.zeros_like(rays_ref[0, :])
 
     # --- phase A: conservative interval cull -------------------------------
     # Bound the whole ray block (origin box, per-axis direction range, max
@@ -409,12 +416,13 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
             tn_lo = jnp.maximum(tn_lo, t_lo)
             tf_hi = jnp.minimum(tf_hi, t_hi)
         hitm = (tn_lo <= tf_hi) & (boxes_ref[6:7, s] > 0.0) & any_active
-        occtn_v[0:1, s] = hitm.astype(jnp.float32)
-        occtn_v[1:2, s] = jnp.where(hitm, jnp.maximum(tn_lo, RayEpsilon),
-                                    float("inf"))
+        occ_v[0:1, s] = hitm.astype(jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, b_pad // cull_chunk, cull_chunk_body, 0)
+    # boxes to SMEM for scalar per-block reads in the phase-C lane refine
+    bcp = pltpu.make_async_copy(boxes_ref, boxes_smem, bsem)
+    bcp.start()
 
     # --- phase B: prefix-sum compaction (MXU) -----------------------------
     # inclusive prefix of the occupancy row via a lower-triangular ones
@@ -424,13 +432,16 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
     rows = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 1)
     lower_tri = (rows <= cols).astype(jnp.float32)
-    occtn_v[0:1, :] = jax.lax.dot_general(
-        occtn_v[0:1, :], lower_tri, (((1,), (0,)), ((), ())),
+    occ_v[0:1, :] = jax.lax.dot_general(
+        occ_v[0:1, :], lower_tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    cp = pltpu.make_async_copy(occtn_v, occtn_smem, osem)
+    cp = pltpu.make_async_copy(occ_v, occ_smem, osem)
     cp.start()
     cp.wait()
-    count = occtn_smem[0, b_pad - 1].astype(jnp.int32)
+    bcp.wait()
+    count = occ_smem[0, b_pad - 1].astype(jnp.int32)
+    if debug_counters:
+        out_ref[5, :] = out_ref[5, :] + count.astype(jnp.float32)
 
     # enough halvings to shrink [0, b_pad] to a single index (one more
     # than log2(b_pad): the final width-1 interval still needs a probe)
@@ -443,21 +454,43 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
         hi = jnp.int32(b_pad)
         for _ in range(n_steps):
             mid = (lo + hi) // 2
-            go_right = occtn_smem[0, mid] < target
+            go_right = occ_smem[0, mid] < target
             lo = jnp.where(go_right, mid + 1, lo)
             hi = jnp.where(go_right, hi, mid)
         return lo
 
     # --- phase C: double-buffered triangle stream -------------------------
-    def dma(slot, pos):
-        return pltpu.make_async_copy(tris_hbm.at[nth_occupied(pos)],
+    ox, oy, oz = (rays_ref[k:k + 1, :] for k in range(3))
+    dx, dy, dz = (rays_ref[k:k + 1, :] for k in range(3, 6))
+    active = rays_ref[7:8, :] > 0.0
+    o3 = (ox, oy, oz)
+    inv3 = tuple(
+        1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                        jnp.where(d < 0, -1e-20, 1e-20), d)
+        for d in (dx, dy, dz))
+
+    def dma(slot, b):
+        return pltpu.make_async_copy(tris_hbm.at[b],
                                      scratch.at[slot], sems.at[slot])
 
-    def mt_block(pos, slot):
-        b = nth_occupied(pos)
-        ox, oy, oz = (rays_ref[k:k + 1, :] for k in range(3))
-        dx, dy, dz = (rays_ref[k:k + 1, :] for k in range(3, 6))
-        active = rays_ref[7:8, :] > 0.0
+    def lane_refine(b, undecided=None):
+        """True iff some active lane's slab interval for block b intersects
+        (RayEpsilon, that lane's current best t)."""
+        tn = jnp.full_like(ox, RayEpsilon)
+        tf = out_ref[0:1, :]
+        for k in range(3):
+            t0 = (boxes_smem[k, b] - o3[k]) * inv3[k]
+            t1 = (boxes_smem[3 + k, b] - o3[k]) * inv3[k]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        live = (tn <= tf) & active
+        if undecided is not None:
+            live = live & undecided
+        return jnp.max(live.astype(jnp.float32)) > 0.0
+
+    def mt_block(b, slot):
+        if debug_counters:
+            out_ref[4, :] = out_ref[4, :] + 1.0
         row = scratch[slot]                             # (16, T)
         p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = (
             row[k, :].reshape(T, 1) for k in range(9))
@@ -500,55 +533,65 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
 
     @pl.when(count > 0)
     def _():
-        dma(0, 0).start()
+        # the block id for each stream position is resolved once and carried
+        # through the loop (the prefetch for pos+1 computes the next one)
+        b0 = jnp.minimum(nth_occupied(0), b_pad - 1)
+        dma(0, b0).start()
 
         if any_hit:
             # exit the stream once every active lane is decided
-            def cond(pos):
+            def cond(carry):
+                pos, _ = carry
                 undecided = jnp.sum(
                     ((pltpu.bitcast(out_ref[1:2, :], jnp.int32) < 0)
                      & (rays_ref[7:8, :] > 0.0)).astype(jnp.int32))
                 return (pos < count) & (undecided > 0)
 
-            def body(pos):
+            def body(carry):
+                pos, b_cur = carry
                 slot = pos % 2
+                b_next = jnp.minimum(nth_occupied(pos + 1), b_pad - 1)
 
                 @pl.when(pos + 1 < count)
                 def _():
-                    dma(1 - slot, pos + 1).start()
+                    dma(1 - slot, b_next).start()
 
-                dma(slot, pos).wait()
-                mt_block(pos, slot)
-                return pos + 1
+                dma(slot, b_cur).wait()
+                und = pltpu.bitcast(out_ref[1:2, :], jnp.int32) < 0
 
-            final = jax.lax.while_loop(cond, body, jnp.int32(0))
+                @pl.when(lane_refine(b_cur, und))
+                def _():
+                    mt_block(b_cur, slot)
+
+                return pos + 1, b_next
+
+            final, b_fin = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), b0))
 
             # early exit leaves the prefetched DMA for `final` in flight;
             # an un-awaited DMA semaphore wedges the device (observed as
             # ABORTED on the very next program) — drain it
             @pl.when(final < count)
             def _():
-                dma(final % 2, final).wait()
+                dma(final % 2, b_fin).wait()
         else:
-            def body(pos, _):
+            def body(pos, b_cur):
                 slot = pos % 2
+                b_next = jnp.minimum(nth_occupied(pos + 1), b_pad - 1)
 
                 @pl.when(pos + 1 < count)
                 def _():
-                    dma(1 - slot, pos + 1).start()
+                    dma(1 - slot, b_next).start()
 
-                dma(slot, pos).wait()
-                # depth skip: the block cannot beat the worst active best-t
-                t_worst = jnp.max(
-                    jnp.where(rays_ref[7:8, :] > 0.0, out_ref[0:1, :], 0.0))
+                dma(slot, b_cur).wait()
 
-                @pl.when(occtn_smem[1, nth_occupied(pos)] <= t_worst)
+                @pl.when(lane_refine(b_cur))
                 def _():
-                    mt_block(pos, slot)
+                    mt_block(b_cur, slot)
 
-                return 0
+                return b_next
 
-            jax.lax.fori_loop(0, count, body, 0)
+            jax.lax.fori_loop(0, count, body, b0)
 
 
 def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
@@ -557,10 +600,13 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
                                  ray_block: int = 512,
                                  tri_block: int = 128,
                                  any_hit: bool = False,
-                                 interpret: bool = False) -> HitRecord:
+                                 interpret: bool = False,
+                                 debug_counters: bool = False) -> HitRecord:
     """Block-culled Pallas intersection, cull and compaction in-kernel.
     Same contract as ray_intersect_culled; ``any_hit=True`` returns *a* hit
-    (not necessarily the closest) and exits early — for occlusion queries."""
+    (not necessarily the closest) and exits early — for occlusion queries.
+    ``debug_counters=True`` additionally returns per-ray-block (MT tiles
+    executed, candidate blocks) counts for occupancy/roofline analysis."""
     sg = jax.lax.stop_gradient
     ray_o, ray_d = sg(ray_o), sg(ray_d)
     n_rays = ray_o.shape[0]
@@ -610,7 +656,8 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
 
     out = pl.pallas_call(
         partial(_culled2_kernel, tri_block=T, b_pad=b_pad,
-                cull_chunk=cull_chunk, any_hit=any_hit),
+                cull_chunk=cull_chunk, any_hit=any_hit,
+                debug_counters=debug_counters),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         grid=(n_rblocks,),
         in_specs=[
@@ -620,8 +667,10 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         ],
         out_specs=pl.BlockSpec((8, rb), lambda i: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((2, b_pad), jnp.float32),
-            pltpu.SMEM((2, b_pad), jnp.float32),
+            pltpu.VMEM((1, b_pad), jnp.float32),
+            pltpu.SMEM((1, b_pad), jnp.float32),
+            pltpu.SMEM((8, b_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((2, 16, T), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -633,5 +682,10 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
     slot = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
     uv = jnp.stack([out[2, :n_rays], out[3, :n_rays]], axis=-1)
     tri_id = jnp.where(slot >= 0, bvh.perm[jnp.maximum(slot, 0)], -1)
-    return HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv,
-                     t=jnp.where(tri_id >= 0, t, _INF))
+    hit = HitRecord(valid=tri_id >= 0, tri_id=tri_id, uv=uv,
+                    t=jnp.where(tri_id >= 0, t, _INF))
+    if debug_counters:
+        tiles = out[4].reshape(n_rblocks, rb)[:, 0]
+        cands = out[5].reshape(n_rblocks, rb)[:, 0]
+        return hit, (tiles, cands)
+    return hit

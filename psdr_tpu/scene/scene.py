@@ -88,7 +88,12 @@ class Scene:
         self.param_map: dict = {}
         self._configured = False
         self._flat_cache = None
-        # ray-intersection backend: "auto" | "brute" | "bvh" | "culled"
+        # ray-intersection backend: "auto" | "brute" | "culled" | "pallas"
+        # | "bvh_walk". "auto" picks the Pallas block-culled kernel on TPU
+        # and the XLA block-culled path elsewhere. "bvh" is an alias for
+        # "culled" (the pointer-walk traversal measured 25-170x slower than
+        # block-cull on TPU; it stays available as the explicit "bvh_walk"
+        # for cross-checking, not as a production dispatch target).
         self.accel_mode = "auto"
         self.accel_leaf_size = 4
         self.accel_min_faces = 512  # "auto" switches to BVH above this
@@ -176,7 +181,7 @@ class Scene:
 
     def _use_bvh(self) -> bool:
         total = sum(m.num_faces for m in self.meshes)
-        return (self.accel_mode in ("bvh", "culled", "pallas")
+        return (self.accel_mode in ("bvh", "bvh_walk", "culled", "pallas")
                 or (self.accel_mode == "auto"
                     and total >= self.accel_min_faces))
 
@@ -403,7 +408,9 @@ class Scene:
             accel = refit_bvh(self._bvh_topo, tri.p0, tri.e1, tri.e2)
 
         self.face_offset = face_offset
-        if self.accel_mode in ("bvh", "pallas", "culled"):
+        if self.accel_mode == "bvh":          # demoted alias (see __init__)
+            accel_kind = "culled"
+        elif self.accel_mode in ("bvh_walk", "pallas", "culled"):
             accel_kind = self.accel_mode
         else:  # auto: the Pallas kernel wins on real TPUs; culled elsewhere
             accel_kind = ("pallas" if jax.default_backend() == "tpu"
@@ -485,7 +492,7 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
             if tmax is not None:
                 q_tmax = sg(tmax)[perm]
     if flat.accel is not None:
-        if flat.accel_kind == "bvh":
+        if flat.accel_kind == "bvh_walk":
             hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act, tmax=q_tmax)
         elif flat.accel_kind == "pallas":
             from ..accel.pallas_kernel import ray_intersect_pallas_culled2

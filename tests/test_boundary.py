@@ -39,6 +39,7 @@ def test_primary_edges_zero_primal():
     assert np.allclose(np.asarray(img_edges), 0.0)
 
 
+@pytest.mark.slow
 def test_primary_edge_gradient_against_fd():
     """Sphere translated along x in front of the camera: the image gradient
     at the silhouette is pure boundary term. With sppe>0 the AD image must
@@ -76,6 +77,7 @@ def test_primary_edge_gradient_against_fd():
         f"with boundary {err_with}, without {err_without}")
 
 
+@pytest.mark.slow
 def test_secondary_edge_gradient_shadow():
     """Occluder translation changes the cast shadow: the shadow-boundary
     gradient is produced only by the secondary-edge estimator."""
@@ -104,6 +106,7 @@ def test_secondary_edge_gradient_shadow():
         f"with boundary {err_with}, without {err_without}")
 
 
+@pytest.mark.slow
 def test_primary_edge_vis_check_rejects_occluded():
     """Runtime analog of the reference's PSDR_PRIMARY_EDGE_VIS_CHECK
     (perspective.cpp:171-192): silhouette-edge samples whose edge point is

@@ -76,7 +76,7 @@ def test_scene_render_same_with_bvh():
     sc1 = cbox_scene(width=24, height=24, spp=4)
     sc1.accel_mode = "brute"
     sc2 = cbox_scene(width=24, height=24, spp=4)
-    sc2.accel_mode = "bvh"
+    sc2.accel_mode = "bvh_walk"
 
     integ = DirectIntegrator(1, 1)
     img1 = np.asarray(integ.renderC(sc1, seed=5))
@@ -84,13 +84,14 @@ def test_scene_render_same_with_bvh():
     np.testing.assert_allclose(img1, img2, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bvh_gradients_flow_through_recompute():
     """jax.grad through a BVH-backed render must match the brute-force
     gradients (traversal is detached; gradients use the recompute)."""
     from psdr_tpu import DirectIntegrator
 
     grads = []
-    for mode in ("brute", "bvh"):
+    for mode in ("brute", "bvh_walk"):
         sc = cbox_scene(width=16, height=16, spp=2)
         sc.accel_mode = mode
         integ = DirectIntegrator(1, 1)

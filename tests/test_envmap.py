@@ -51,6 +51,7 @@ def test_env_render_finite_nonzero():
     assert corner.sum() > 0.0
 
 
+@pytest.mark.slow
 def test_env_estimator_cross_validation():
     """BSDF-sampling-only, light-sampling-only and MIS must converge to the
     same image (validates envmap direction/position sampling + pdfs)."""

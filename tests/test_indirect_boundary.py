@@ -107,6 +107,7 @@ def test_interior_gradient_is_zero():
     assert d == 0.0
 
 
+@pytest.mark.slow
 def test_indirect_boundary_matches_fd():
     scene = _gi_shadow_scene(width=20, height=20)
     fd = _scalar_fd(scene, PathTracer(max_depth=2), eps=0.05, npass=48)
@@ -131,6 +132,7 @@ def test_indirect_boundary_matches_fd():
     assert abs(ad_full - fd) < 0.5 * abs(fd) + 1e-4
 
 
+@pytest.mark.slow
 def test_indirect_guiding_builds_and_renders():
     scene = _gi_shadow_scene(width=12, height=12, spp=4, sppse=8)
     integ = PathTracer(max_depth=2)

@@ -6,6 +6,8 @@ identical per-device math in a Python loop (``per_device_render_fn``). That
 pins down the shard_map machinery itself — a psum/transpose bug that scaled
 gradients by n_devices would fail these, while finiteness checks would not.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,7 @@ def test_sharded_render_matches_serial_emulation(spp, mode):
 
 
 @pytest.mark.parametrize("spp,mode", [(8, "budget"), (6, "lanes")])
+@pytest.mark.slow
 def test_sharded_grads_match_serial_emulation(spp, mode):
     """Gradients through the sharded render (shard_map transpose psum) must
     equal the serial-emulation gradients leaf-by-leaf."""
@@ -105,6 +108,7 @@ def test_lane_sharding_covers_full_budget():
         np.testing.assert_allclose(img, 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_boundary_terms_run():
     """Boundary estimators under lane-DP: gradients flow and match the
     serial emulation."""
@@ -141,11 +145,62 @@ def test_train_step_runs(scene):
     assert np.isfinite(float(loss)) and float(loss) > 0.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_smoke(tmp_path):
+    """2 OS processes x 2 emulated CPU devices = a 4-device global mesh with
+    a real process (DCN-analog) boundary, driven through jax.distributed by
+    the exact shard_render_fn code path a multi-host slice would use. Both
+    processes must produce the identical replicated image and to_world
+    gradient, and both must match a single-process serial emulation of the
+    same per-device math."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable the TPU plugin hook
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    outs = [str(tmp_path / f"mh{i}.npz") for i in range(2)]
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), "2", str(port), outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    a, b = (np.load(o) for o in outs)
+    np.testing.assert_array_equal(a["img"], b["img"])
+    np.testing.assert_array_equal(a["grad_to_world"], b["grad_to_world"])
+
+    # serial emulation of the same 4-device math in this process
+    sc = cbox_scene(width=16, height=16, spp=4, sppe=0, sppse=0)
+    integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
+    render = _serial_reference(integrator, sc, 4, "budget")
+    params = sc.params()
+    key = jax.random.PRNGKey(7)
+    img_ref = np.asarray(jax.jit(render)(params, key))
+    np.testing.assert_allclose(a["img"], img_ref, rtol=2e-5, atol=2e-6)
+
+    g_ref = jax.jit(jax.grad(_loss(render)))(params, key)
+    g_ref = np.asarray(g_ref["meshes"][0]["to_world"], np.float64)
+    scale = max(np.abs(g_ref).max(), 1e-12)
+    np.testing.assert_allclose(a["grad_to_world"], g_ref,
+                               rtol=5e-4, atol=5e-5 * scale)
 
 
 def test_overlap_train_step_matches_baseline(scene):

@@ -29,6 +29,7 @@ def test_depth1_matches_direct(scene):
     assert abs(p.mean() - d.mean()) < 0.05 * d.mean()
 
 
+@pytest.mark.slow
 def test_depth_adds_energy(scene):
     """Multi-bounce transport adds energy in an enclosed box (global
     illumination > direct-only) and converges as depth grows."""

@@ -165,6 +165,7 @@ def test_cbox_vertex_transform_ad_fd(scenes_dir):
     _assert_boundary_closes_gap(ad, ad_nob, fd, "cbox vertex_transform")
 
 
+@pytest.mark.slow
 def test_tree_rotate_secondary_only_ad_fd(scenes_dir):
     """tree test: sppse-only config — the rotating tree's shadow gradient
     comes entirely from the secondary-edge estimator (the tree itself is
@@ -205,6 +206,7 @@ def test_bunny_silhouette_primary_only_ad_fd(scenes_dir):
     _assert_boundary_closes_gap(ad, ad_nob, fd, "bunny silhouette")
 
 
+@pytest.mark.slow
 def test_bunny_env2_envmap_rotate_ad_fd(scenes_dir):
     """bunny_env_1 config (envmap_rotate, interior-only) applied to the
     committed-asset scene bunny_env_2.xml.
@@ -241,6 +243,7 @@ def test_bunny_env2_envmap_rotate_ad_fd(scenes_dir):
 # Guiding: the 3D hypercube warp must reduce secondary-edge variance
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_guiding_reduces_secondary_edge_variance(scenes_dir):
     sc = _load(scenes_dir, "cbox_bunny.xml", 24, 24, spp=0, sppe=0, sppse=32)
     from psdr_tpu.testing.differential import apply_perturbation
