@@ -349,11 +349,11 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
 # decided (shadow rays, scene.py ray_test).
 # ---------------------------------------------------------------------------
 
-def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
-                    out_ref, occ_v, occ_smem, boxes_smem,
-                    osem, bsem, scratch, sems, *,
-                    tri_block, b_pad, cull_chunk, any_hit,
-                    debug_counters=False):
+def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
+                    out_ref, occ_v, occ_smem, boxes_smem, subboxes_smem,
+                    osem, bsem, ssem, scratch, sems, *,
+                    tri_block, b_pad, cull_chunk, any_hit, n_slots,
+                    sub_split, debug_counters=False):
     T = tri_block
     R = rays_ref.shape[1]
 
@@ -423,6 +423,9 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
     # boxes to SMEM for scalar per-block reads in the phase-C lane refine
     bcp = pltpu.make_async_copy(boxes_ref, boxes_smem, bsem)
     bcp.start()
+    if sub_split > 1:
+        scp = pltpu.make_async_copy(subboxes_ref, subboxes_smem, ssem)
+        scp.start()
 
     # --- phase B: prefix-sum compaction (MXU) -----------------------------
     # inclusive prefix of the occupancy row via a lower-triangular ones
@@ -439,6 +442,8 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
     cp.start()
     cp.wait()
     bcp.wait()
+    if sub_split > 1:
+        scp.wait()
     count = occ_smem[0, b_pad - 1].astype(jnp.int32)
     if debug_counters:
         out_ref[5, :] = out_ref[5, :] + count.astype(jnp.float32)
@@ -473,14 +478,17 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
         return pltpu.make_async_copy(tris_hbm.at[b],
                                      scratch.at[slot], sems.at[slot])
 
-    def lane_refine(b, undecided=None):
-        """True iff some active lane's slab interval for block b intersects
-        (RayEpsilon, that lane's current best t)."""
+    def lane_refine(b, undecided=None, smem=None):
+        """True iff some active lane's slab interval for box ``b`` of
+        ``smem`` (default: block boxes) intersects (RayEpsilon, that lane's
+        current best t)."""
+        if smem is None:
+            smem = boxes_smem
         tn = jnp.full_like(ox, RayEpsilon)
         tf = out_ref[0:1, :]
         for k in range(3):
-            t0 = (boxes_smem[k, b] - o3[k]) * inv3[k]
-            t1 = (boxes_smem[3 + k, b] - o3[k]) * inv3[k]
+            t0 = (smem[k, b] - o3[k]) * inv3[k]
+            t1 = (smem[3 + k, b] - o3[k]) * inv3[k]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         live = (tn <= tf) & active
@@ -488,12 +496,15 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
             live = live & undecided
         return jnp.max(live.astype(jnp.float32)) > 0.0
 
-    def mt_block(b, slot):
+    def mt_tile(b, slot, j, n_sub):
+        """MT on sub-tile j (of n_sub) of the DMA'd block: rows
+        [j*T/n_sub, (j+1)*T/n_sub) as a (T/n_sub, R) VPU tile."""
         if debug_counters:
-            out_ref[4, :] = out_ref[4, :] + 1.0
+            out_ref[4, :] = out_ref[4, :] + 1.0 / n_sub
+        Ts = T // n_sub
         row = scratch[slot]                             # (16, T)
         p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = (
-            row[k, :].reshape(T, 1) for k in range(9))
+            row[k, :].reshape(T, 1)[j * Ts:(j + 1) * Ts] for k in range(9))
 
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
@@ -511,7 +522,7 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
         t = f * (e2x * qx + e2y * qy + e2z * qz)
 
         t_best = out_ref[0:1, :]
-        tvalid = row[9, :].reshape(T, 1) > 0.0
+        tvalid = row[9, :].reshape(T, 1)[j * Ts:(j + 1) * Ts] > 0.0
         ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t > RayEpsilon) & (t < t_best) & tvalid & active)
         t_m = jnp.where(ok, t, float("inf"))
@@ -526,72 +537,96 @@ def _culled2_kernel(rays_ref, boxes_ref, tris_hbm,
         out_ref[0, :] = jnp.where(closer, t_c, out_ref[0, :])
         ids = pltpu.bitcast(out_ref[1:2, :], jnp.int32)
         new_ids = jnp.where(closer[None, :],
-                            rsel[None, :].astype(jnp.int32) + b * T, ids)
+                            rsel[None, :].astype(jnp.int32) + b * T + j * Ts,
+                            ids)
         out_ref[1:2, :] = pltpu.bitcast(new_ids, jnp.float32)
         out_ref[2, :] = jnp.where(closer, u_c, out_ref[2, :])
         out_ref[3, :] = jnp.where(closer, v_c, out_ref[3, :])
 
+    def mt_block(b, slot, undecided=None):
+        """The block's MT work, split into sub_split independently
+        lane-refined sub-tiles (sub-block AABBs = one BVH level down)."""
+        if sub_split == 1:
+            mt_tile(b, slot, 0, 1)
+            return
+        for j in range(sub_split):
+            @pl.when(lane_refine(sub_split * b + j, undecided,
+                                 smem=subboxes_smem))
+            def _(j=j):
+                mt_tile(b, slot, j, sub_split)
+
+    S = n_slots
+
     @pl.when(count > 0)
     def _():
-        # the block id for each stream position is resolved once and carried
-        # through the loop (the prefetch for pos+1 computes the next one)
-        b0 = jnp.minimum(nth_occupied(0), b_pad - 1)
-        dma(0, b0).start()
+        # block ids are resolved once per stream position and carried
+        # through the loop as a sliding window of the next S-1 positions;
+        # S-deep buffering keeps S-1 triangle DMAs in flight ahead of the
+        # MT tile consuming slot pos % S
+        window = []
+        for k in range(S - 1):
+            b_k = jnp.minimum(nth_occupied(k), b_pad - 1)
+            window.append(b_k)
+
+            @pl.when(k < count)
+            def _(b_k=b_k, k=k):
+                dma(k % S, b_k).start()
+
+        def advance(pos, window):
+            """Start the DMA for pos+S-1, wait/process pos, slide window."""
+            b_cur = window[0]
+            b_new = jnp.minimum(nth_occupied(pos + S - 1), b_pad - 1)
+
+            @pl.when(pos + S - 1 < count)
+            def _():
+                dma((pos + S - 1) % S, b_new).start()
+
+            dma(pos % S, b_cur).wait()
+            return b_cur, tuple(window[1:]) + (b_new,)
 
         if any_hit:
             # exit the stream once every active lane is decided
             def cond(carry):
-                pos, _ = carry
+                pos = carry[0]
                 undecided = jnp.sum(
                     ((pltpu.bitcast(out_ref[1:2, :], jnp.int32) < 0)
                      & (rays_ref[7:8, :] > 0.0)).astype(jnp.int32))
                 return (pos < count) & (undecided > 0)
 
             def body(carry):
-                pos, b_cur = carry
-                slot = pos % 2
-                b_next = jnp.minimum(nth_occupied(pos + 1), b_pad - 1)
-
-                @pl.when(pos + 1 < count)
-                def _():
-                    dma(1 - slot, b_next).start()
-
-                dma(slot, b_cur).wait()
+                pos = carry[0]
+                b_cur, window = advance(pos, carry[1:])
                 und = pltpu.bitcast(out_ref[1:2, :], jnp.int32) < 0
 
                 @pl.when(lane_refine(b_cur, und))
                 def _():
-                    mt_block(b_cur, slot)
+                    mt_block(b_cur, pos % S)
 
-                return pos + 1, b_next
+                return (pos + 1,) + window
 
-            final, b_fin = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), b0))
+            fin = jax.lax.while_loop(
+                cond, body, (jnp.int32(0),) + tuple(window))
+            final = fin[0]
 
-            # early exit leaves the prefetched DMA for `final` in flight;
-            # an un-awaited DMA semaphore wedges the device (observed as
-            # ABORTED on the very next program) — drain it
-            @pl.when(final < count)
-            def _():
-                dma(final % 2, b_fin).wait()
+            # early exit leaves the prefetched DMAs for positions
+            # final..final+S-2 in flight; an un-awaited DMA semaphore
+            # wedges the device (observed as ABORTED on the very next
+            # program) — drain them
+            for k in range(S - 1):
+                @pl.when(final + k < count)
+                def _(k=k):
+                    dma((final + k) % S, fin[1 + k]).wait()
         else:
-            def body(pos, b_cur):
-                slot = pos % 2
-                b_next = jnp.minimum(nth_occupied(pos + 1), b_pad - 1)
-
-                @pl.when(pos + 1 < count)
-                def _():
-                    dma(1 - slot, b_next).start()
-
-                dma(slot, b_cur).wait()
+            def body(pos, window):
+                b_cur, window = advance(pos, window)
 
                 @pl.when(lane_refine(b_cur))
                 def _():
-                    mt_block(b_cur, slot)
+                    mt_block(b_cur, pos % S)
 
-                return b_next
+                return window
 
-            jax.lax.fori_loop(0, count, body, b0)
+            jax.lax.fori_loop(0, count, body, tuple(window))
 
 
 def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
@@ -600,6 +635,8 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
                                  ray_block: int = 512,
                                  tri_block: int = 128,
                                  any_hit: bool = False,
+                                 n_slots: int = 2,
+                                 sub_split: int = 1,
                                  interpret: bool = False,
                                  debug_counters: bool = False) -> HitRecord:
     """Block-culled Pallas intersection, cull and compaction in-kernel.
@@ -654,15 +691,39 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         jnp.zeros((1, b_pad), jnp.float32),
     ])
 
+    # sub-block AABBs: the heap level sub_split*B (one/two levels below the
+    # block level), giving T/sub_split-triangle granularity to the phase-C
+    # lane refine. Disabled when the level doesn't exist or the sub-tile
+    # wouldn't be sublane-aligned.
+    G = sub_split
+    Ts = T // max(G, 1)
+    if (G > 1 and (T % G or Ts % 8 or Ts < L or G * n_blocks > P
+                   or n_blocks * G != (n_blocks * G & -(n_blocks * G)))):
+        G = 1
+    if G > 1:
+        sb = bvh.nodes[G * n_blocks:2 * G * n_blocks]   # (G*B, 6)
+        sb_mask = bvh.node_mask[G * n_blocks:2 * G * n_blocks]
+        sb_pad = _ceil_to(G * n_blocks, 128)
+        subboxes = jnp.concatenate([
+            jnp.pad(sb.T, ((0, 0), (0, sb_pad - G * n_blocks))),
+            jnp.pad(sb_mask.astype(jnp.float32)[None, :],
+                    ((0, 0), (0, sb_pad - G * n_blocks))),
+            jnp.zeros((1, sb_pad), jnp.float32),
+        ])
+    else:
+        sb_pad = 128
+        subboxes = jnp.zeros((8, sb_pad), jnp.float32)
+
     out = pl.pallas_call(
         partial(_culled2_kernel, tri_block=T, b_pad=b_pad,
-                cull_chunk=cull_chunk, any_hit=any_hit,
-                debug_counters=debug_counters),
+                cull_chunk=cull_chunk, any_hit=any_hit, n_slots=n_slots,
+                sub_split=G, debug_counters=debug_counters),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         grid=(n_rblocks,),
         in_specs=[
             pl.BlockSpec((8, rb), lambda i: (0, i)),
             pl.BlockSpec((8, b_pad), lambda i: (0, 0)),
+            pl.BlockSpec((8, sb_pad), lambda i: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((8, rb), lambda i: (0, i)),
@@ -670,13 +731,15 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
             pltpu.VMEM((1, b_pad), jnp.float32),
             pltpu.SMEM((1, b_pad), jnp.float32),
             pltpu.SMEM((8, b_pad), jnp.float32),
+            pltpu.SMEM((8, sb_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((2, 16, T), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((n_slots, 16, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
         interpret=interpret,
-    )(rays, boxes, tri_rows)
+    )(rays, boxes, subboxes, tri_rows)
 
     t = out[0, :n_rays]
     slot = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)

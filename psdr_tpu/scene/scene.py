@@ -496,8 +496,13 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
             hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act, tmax=q_tmax)
         elif flat.accel_kind == "pallas":
             from ..accel.pallas_kernel import ray_intersect_pallas_culled2
+            # tuned on v5e @ 82k tris / 1M coherent rays (bench_p2_sweep):
+            # R=1024 beats 512 by ~8%; sub-block refine G=2 best for
+            # closest-hit (+9%), G=4 for any-hit occlusion queries (+4%)
             hit = ray_intersect_pallas_culled2(flat.accel, q_o, q_d, q_act,
-                                               tmax=q_tmax, any_hit=any_hit)
+                                               tmax=q_tmax, any_hit=any_hit,
+                                               ray_block=1024,
+                                               sub_split=4 if any_hit else 2)
         else:
             hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
                                        tmax=q_tmax)

@@ -1,0 +1,87 @@
+"""Decompose the e2e forward bench (bench.py config) into stage costs.
+
+Five variants of the flagship Direct render, cumulative in work:
+  cam      camera rays + closest-hit intersect + emitter lookup only
+  bounce   + bsdf sampling + octant-sorted bounce intersect (no shading)
+  bsdf     DirectIntegrator(1,0): full bsdf-side estimator, no NEE
+  nee      DirectIntegrator(0,1): NEE only (intersect + ray_test + shading)
+  full     DirectIntegrator(1,1): the bench.py headline config
+
+The deltas localize where forward time goes (kernel vs shading vs sort vs
+film scatter). One process, one jit per variant (CLAUDE.md tunnel rules).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from psdr_tpu import DirectIntegrator
+from psdr_tpu.integrator.direct import sample_bsdf
+from psdr_tpu.scene.scene import ray_intersect, scene_le
+from psdr_tpu.core.records import Ray
+from psdr_tpu.core.frame import to_world
+from tests.scenes import cbox_scene
+
+
+class CamOnly(DirectIntegrator):
+    def Li(self, scene, flat, rng, ray, active):
+        its = ray_intersect(flat, ray, active)
+        active = active & its.valid
+        return scene_le(flat, its, active)
+
+
+class BouncePlumb(DirectIntegrator):
+    def Li(self, scene, flat, rng, ray, active):
+        its = ray_intersect(flat, ray, active)
+        active = active & its.valid
+        n = ray.o.shape[0]
+        bs = sample_bsdf(scene.bsdf_kinds, flat.bsdfs, its,
+                         rng.next_3d(n), active)
+        active1 = active & bs.valid
+        ray1 = Ray(its.p, to_world(its.sh_frame, bs.wo))
+        its1 = ray_intersect(flat, ray1, active1, path_space=True,
+                             sort_rays=True)
+        # depend on the bounce hit so nothing is DCE'd
+        return (scene_le(flat, its, active)
+                + jnp.where((active1 & its1.valid)[..., None],
+                            its1.t[..., None] * 1e-6, 0.0))
+
+
+def bench(step, args_fn, n_iter=3):
+    out = step(*args_fn(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = step(*args_fn(i + 1))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    width = height = 512
+    spp = 64
+    scene = cbox_scene(width=width, height=height, spp=spp,
+                       occluder_subdiv=5)
+    params = scene.params()
+    lanes = width * height * spp
+
+    variants = [
+        ("cam", CamOnly(1, 1)),
+        ("bounce", BouncePlumb(1, 1)),
+        ("bsdf", DirectIntegrator(1, 0)),
+        ("nee", DirectIntegrator(0, 1)),
+        ("full", DirectIntegrator(1, 1)),
+    ]
+    for name, integ in variants:
+        render = jax.jit(integ.render_fn(scene, with_boundary=False))
+        dt = bench(render, lambda i: (params, jax.random.PRNGKey(i)))
+        print(f"{name:8s} {dt*1e3:9.1f} ms  "
+              f"({lanes/dt/1e6:6.2f} Msamples/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,31 +43,34 @@ def main():
     topo = build_bvh_topology(p0n, e1n, e2n, leaf_size=4)
 
     ref_ids = None
-    for T, R in ((128, 1024), (128, 2048), (128, 4096)):
-        def fused(p0, e1, e2, o, d, topo=topo, T=T, R=R):
+    for T, R, G in ((128, 1024, 1), (128, 1024, 2), (128, 1024, 4),
+                    (128, 512, 4)):
+        def fused(p0, e1, e2, o, d, topo=topo, T=T, R=R, G=G):
             bvh = refit_bvh(topo, p0, e1, e2)
             return ray_intersect_pallas_culled2(bvh, o, d, tri_block=T,
-                                                ray_block=R)
+                                                ray_block=R, sub_split=G)
 
         t_p, hp = bench(jax.jit(fused), args)
         ids = np.asarray(hp.tri_id)
         if ref_ids is None:
             ref_ids = ids
         agree = float(np.mean(ids == ref_ids))
-        print(f"pallas2(T={T},R={R}) {n_rays/t_p/1e6:8.2f} Mray/s"
+        print(f"pallas2(T={T},R={R},G={G}) {n_rays/t_p/1e6:8.2f} Mray/s"
               f" agree={agree:.4f}", flush=True)
 
-    for T, R in ((128, 1024), (128, 2048)):
-        def fused_any(p0, e1, e2, o, d, topo=topo, T=T, R=R):
+    for T, R, G in ((128, 1024, 1), (128, 1024, 4)):
+        def fused_any(p0, e1, e2, o, d, topo=topo, T=T, R=R, G=G):
             bvh = refit_bvh(topo, p0, e1, e2)
             return ray_intersect_pallas_culled2(bvh, o, d, tri_block=T,
-                                                ray_block=R, any_hit=True)
+                                                ray_block=R, any_hit=True,
+                                                sub_split=G)
 
         t_a, ha = bench(jax.jit(fused_any), args)
         agree = float(np.mean(np.asarray(ha.valid) == (ref_ids >= 0)))
-        print(f"pallas2-any(T={T},R={R}) {n_rays/t_a/1e6:8.2f} Mray/s"
+        print(f"pallas2-any(T={T},R={R},G={G}) {n_rays/t_a/1e6:8.2f} Mray/s"
               f" agree={agree:.4f}", flush=True)
 
+    return
     # occupancy counters at the production tiling -> roofline estimate
     T, R = 128, 2048
     def fused_dbg(p0, e1, e2, o, d, topo=topo):

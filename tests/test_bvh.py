@@ -209,6 +209,28 @@ def test_pallas_culled2_matches_brute_interpret():
     ha = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
                                       any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(ha.valid))
+    # deeper DMA pipelining must not change any result
+    for n_slots in (3, 4):
+        h4 = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                          n_slots=n_slots, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hp.tri_id),
+                                      np.asarray(h4.tri_id))
+        a4 = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                          any_hit=True, n_slots=n_slots,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.valid),
+                                      np.asarray(a4.valid))
+    # sub-block lane refine only skips work, never changes results
+    for sub_split in (2, 4):
+        hs = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                          sub_split=sub_split, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hp.tri_id),
+                                      np.asarray(hs.tri_id))
+        as_ = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                          any_hit=True, sub_split=sub_split,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.valid),
+                                      np.asarray(as_.valid))
 
 
 def test_refit_quality_trigger_recovers_cull_efficiency():
