@@ -544,8 +544,13 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
         # norm() below has a NaN gradient at 0 — park dead lanes at o + d
         p = jnp.where(valid[..., None], p, sg(ray.o + ray.d))
         d = p - ray.o
-        t = norm(d)
-        d = d / jnp.maximum(t, 1e-20)[..., None]
+        # sqrt(max(., eps)) instead of norm(): a grazing hit whose
+        # barycentric recompute rounds to p == o (observed on TPU, where
+        # the kernel accepts t ~ RayEpsilon hits the CPU backend rejects)
+        # would otherwise put sqrt's 0/0 NaN gradient on the lane — and
+        # 0-cotangent * NaN poisons the whole psum into the camera matrix
+        t = jnp.sqrt(jnp.maximum(squared_norm(d), 1e-16))
+        d = d / t[..., None]
         wi_world = -d
         J = tri.face_area / sg(tri.face_area)
     else:
