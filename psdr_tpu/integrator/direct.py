@@ -18,6 +18,8 @@ poison reverse-mode gradients with 0 * inf = NaN.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -287,7 +289,16 @@ class DirectIntegrator(Integrator):
 
     # -- guiding (direct.cpp:166-204) -------------------------------------------
     def preprocess_secondary_edges(self, scene: Scene, sensor_id: int,
-                                   reso, nrounds: int = 1, seed: int = 0) -> None:
+                                   reso, nrounds: int = 1, seed: int = 0,
+                                   mesh=None) -> None:
+        """Build the secondary-edge guiding hypercube.
+
+        ``mesh``: optional 1D ``jax.sharding.Mesh`` — the cell×spp lane
+        domain is then sharded over the mesh axis and the per-cell masses
+        ``psum``'d, so every process/device ends up with the identical
+        collectively-built table (SURVEY §5.8). Each lane draws the same
+        uniforms as the serial build, so the sharded mass equals the serial
+        mass exactly (tests/test_parallel.py pins this)."""
         assert nrounds > 0
         reso = tuple(int(r) for r in reso)
         hc = hypercube_init(reso[:3])
@@ -300,20 +311,51 @@ class DirectIntegrator(Integrator):
         idx = jnp.arange(n, dtype=jnp.int32) // spp_cell
         base = hc.cells[idx].astype(jnp.float32)
 
-        def one_round(key):
-            rng = RngStream(key)
-            sample3 = (base + rng.next_3d(n)) * hc.unit
+        def eval_lanes(base_l, idx_l, u3):
+            sample3 = (base_l + u3) * hc.unit
             _, value0 = self.eval_secondary_edge(scene, flat, sensor_id,
                                                  sample3, ad=False)
             value0 = scrub_nonfinite(value0)
             if spp_cell > 1:
                 value0 = value0 / spp_cell
-            return jax.ops.segment_sum(jnp.max(value0, axis=-1), idx,
-                                       num_segments=num_cells)
+            # idx may carry a ``num_cells`` overflow bucket for padded lanes
+            return jax.ops.segment_sum(jnp.max(value0, axis=-1), idx_l,
+                                       num_segments=num_cells + 1)[:num_cells]
+
+        if mesh is None:
+            def one_round(key):
+                rng = RngStream(key)
+                return eval_lanes(base, idx, rng.next_3d(n))
+            f = jax.jit(one_round)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.size
+            count = -(-n // n_dev)
+            pad = n_dev * count - n
+            base_p = jnp.pad(base, ((0, pad), (0, 0)))
+            idx_p = jnp.pad(idx, (0, pad), constant_values=num_cells)
+
+            def one_round_dev(base_in, idx_in, key):
+                d = jax.lax.axis_index(axis)
+                start = d * count
+                # full-domain draw then slice: lane l sees the same uniform
+                # on every device AND in the serial build, making the psum
+                # of disjoint slices bit-identical to the serial mass
+                rng = RngStream(key)
+                u3 = rng.next_3d(n_dev * count)
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, count)
+                m = eval_lanes(sl(base_in), sl(idx_in), sl(u3))
+                return jax.lax.psum(m, axis)
+
+            f = jax.jit(shard_map(one_round_dev, mesh=mesh,
+                                  in_specs=(P(), P(), P()), out_specs=P(),
+                                  check_vma=False))
+            f = functools.partial(f, base_p, idx_p)
 
         keys = jax.random.split(jax.random.PRNGKey(seed), nrounds)
         mass = jnp.zeros((num_cells,), jnp.float32)
-        f = jax.jit(one_round)
         for k in keys:
             mass = mass + f(k)
         if nrounds > 1:

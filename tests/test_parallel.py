@@ -257,3 +257,32 @@ def test_overlap_step_owns_the_reduction(scene):
     meta_b = grad_allreduce_meta(step_b, st_b)
     assert meta_b and not any("transpose" in ln for ln in meta_b), meta_b
     assert any("psum" in ln for ln in meta_b), meta_b
+
+
+def test_collective_guiding_build_matches_serial():
+    """The mesh-sharded secondary-edge guiding build draws the same uniform
+    for every lane as the serial build, so the psum'd masses must equal the
+    serial masses to float tolerance; the indirect table build must produce
+    a finite, normalized, usable table."""
+    sc = cbox_scene(width=16, height=16, spp=2, sppe=0, sppse=2)
+    sc.prepare_accel()
+
+    serial = DirectIntegrator(1, 1)
+    serial.preprocess_secondary_edges(sc, 0, (4, 4, 4, 2), nrounds=2, seed=3)
+    mesh = device_mesh(8)
+    sharded = DirectIntegrator(1, 1)
+    sharded.preprocess_secondary_edges(sc, 0, (4, 4, 4, 2), nrounds=2,
+                                       seed=3, mesh=mesh)
+    ms = np.asarray(serial.warpper[0].distrb.pmf)
+    mm = np.asarray(sharded.warpper[0].distrb.pmf)
+    np.testing.assert_allclose(mm, ms, rtol=1e-5, atol=1e-7)
+
+    from psdr_tpu import PathTracer
+    pt = PathTracer(max_depth=2)
+    pt.preprocess_indirect_edges(sc, 0, (4, 4, 4, 1), nrounds=1, seed=5,
+                                 mesh=mesh)
+    d = pt.ind_warpper[0].distrb
+    pmf = np.asarray(d.pmf)
+    assert np.isfinite(pmf).all() and (pmf >= 0).all()
+    np.testing.assert_allclose(float(d.total), pmf.sum(), rtol=1e-5)
+    assert pmf.sum() > 0.0
