@@ -53,26 +53,14 @@ def main():
     width = height = 512
     spp = 64
     bsdf_samples = light_samples = 1
-    scene = cbox_scene(width=width, height=height, spp=spp,
-                       occluder_subdiv=5)
     integrator = DirectIntegrator(bsdf_samples, light_samples)
-    render = jax.jit(integrator.render_fn(scene, with_boundary=False))
-    params = scene.params()
     baselines = _baselines()
-
-    dt = _bench(render, lambda i: (params, jax.random.PRNGKey(i)), n_iter=5)
     lanes = width * height * spp
-    rays = lanes * (1 + bsdf_samples + light_samples)
-    rays_per_s = rays / dt
-    fwd_base = float(baselines.get("rays_per_s", 1.0))
-    print(json.dumps({
-        "metric": "forward_rays_per_s_per_chip",
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": rays_per_s / fwd_base,
-    }), flush=True)
 
-    # backward: the BASELINE backward config on the same geometry
+    # backward first: the grad program hits a TPU runtime InvalidArgument
+    # when compiled after the big forward program in the same process (the
+    # identical program succeeds standalone — tunnel-server state), while
+    # forward-after-backward is fine. Metrics still print forward-first.
     bwd_spp = 16
     scene_b = cbox_scene(width=width, height=height, spp=bwd_spp,
                          occluder_subdiv=5)
@@ -90,6 +78,23 @@ def main():
     dt_b = _bench(grad_step, lambda i: (params_b, jax.random.PRNGKey(i)),
                   n_iter=3)
     grad_samples_per_s = width * height * bwd_spp / dt_b
+
+    scene = cbox_scene(width=width, height=height, spp=spp,
+                       occluder_subdiv=5)
+    render = jax.jit(integrator.render_fn(scene, with_boundary=False))
+    params = scene.params()
+
+    dt = _bench(render, lambda i: (params, jax.random.PRNGKey(i)), n_iter=5)
+    rays = lanes * (1 + bsdf_samples + light_samples)
+    rays_per_s = rays / dt
+    fwd_base = float(baselines.get("rays_per_s", 1.0))
+    print(json.dumps({
+        "metric": "forward_rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / fwd_base,
+    }), flush=True)
+
     bwd_base = float(baselines.get("grad_samples_per_s", 1.0))
     print(json.dumps({
         "metric": "backward_grad_samples_per_s_per_chip",

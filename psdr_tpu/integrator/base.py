@@ -94,14 +94,16 @@ class Integrator:
                         key: jax.Array, shard=None) -> jax.Array:
         opts = scene.opts
         num_pixels = opts.num_pixels
-        if opts.spp == 0:
+        spp = opts.spp
+        if spp == 0:
             return jnp.zeros((num_pixels, 3), jnp.float32)
-        n = num_pixels * opts.spp
+        n = num_pixels * spp
         # tile-ordered pixels: consecutive lanes -> coherent ray blocks
-        pix_order = jnp.asarray(tiled_pixel_order(opts.width, opts.height))
+        pix_order_np = tiled_pixel_order(opts.width, opts.height)
+        pix_order = jnp.asarray(pix_order_np)
 
-        def run_lanes(lane, key_c):
-            idx = pix_order[lane // opts.spp]
+        def lane_values(lane, key_c):
+            idx = pix_order[jnp.minimum(lane // spp, num_pixels - 1)]
             base = jnp.stack([(idx % opts.width).astype(jnp.float32),
                               (idx // opts.width).astype(jnp.float32)],
                              axis=-1)
@@ -112,13 +114,57 @@ class Integrator:
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)
             value = self.Li(scene, flat, rng, ray, lane < n)
             value = scrub_nonfinite(value)
-            return accumulate_image(
-                jnp.where((lane < n)[..., None], value, 0.0),
-                jnp.where(lane < n, idx, -1), num_pixels)
+            return jnp.where((lane < n)[..., None], value, 0.0), idx
+
+        start, count = (0, n) if shard is None else shard_lane_range(n, shard)
+        chunk = min(opts.pass_lanes, count)
+
+        if chunk % spp == 0 and count % spp == 0:
+            # interior lanes are pixel-major: lane // spp walks pix_order
+            # contiguously, so each chunk reduces to a dense (chunk/spp, 3)
+            # block written at a static-stride offset — no 2M-lane
+            # scatter-add per pass, just a reshape-sum + one final gather
+            # from tile order back to pixel order
+            ppc = chunk // spp
+            n_chunks = -(-count // chunk)
+
+            def chunk_block(c, key_c):
+                lane = start + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                value, _ = lane_values(lane, key_c)
+                return value.reshape(ppc, spp, 3).sum(axis=1)
+
+            if n_chunks == 1:
+                tile_img = chunk_block(jnp.int32(0), key)
+            else:
+                keys = jax.random.split(key, n_chunks)
+
+                def body(acc, args):
+                    c, key_c = args
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, chunk_block(c, key_c), (c * ppc, 0))
+                    return acc, None
+
+                tile_img, _ = jax.lax.scan(
+                    body, jnp.zeros((n_chunks * ppc, 3), jnp.float32),
+                    (jnp.arange(n_chunks), keys))
+            # pixel p sits at tile position inv_order[p]; this device's
+            # block covers positions [start/spp, start/spp + rows)
+            inv_order = jnp.asarray(np.argsort(pix_order_np).astype(np.int32))
+            rows = tile_img.shape[0]
+            rel = inv_order - start // spp
+            in_range = (rel >= 0) & (rel < rows)
+            img = jnp.where(in_range[..., None],
+                            tile_img[jnp.clip(rel, 0, rows - 1)], 0.0)
+            return img / spp
+
+        def run_lanes(lane, key_c):
+            value, idx = lane_values(lane, key_c)
+            return accumulate_image(value,
+                                    jnp.where(lane < n, idx, -1), num_pixels)
 
         img = scan_lane_chunks(run_lanes, n, num_pixels, key, opts.pass_lanes,
                                shard and shard_lane_range(n, shard))
-        return img / opts.spp
+        return img / spp
 
     # -- primary boundary ------------------------------------------------------
     def render_primary_edges(self, scene: Scene, flat: FlatScene,
