@@ -13,18 +13,28 @@ occluder, 512x512, spp=64, MIS 1 bsdf + 1 light sample (=> 3 traced rays
 per camera sample). The backward step is value_and_grad of an L2 loss
 through scene build + interior render at spp=16 (geometry + material
 gradients), as in the reference's inverse-rendering loop (SURVEY.md §3.5).
+
+The backward metric runs in a child process: after one large program has
+executed, compiling a second large program in the same process hits a TPU
+runtime "INVALID_ARGUMENT" through the axon tunnel (each program succeeds
+standalone; client-side jax.clear_caches() does not help — the residue is
+server-side). The child runs to completion before the parent touches the
+TPU, so the one-process-at-a-time rule holds.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
+WIDTH = HEIGHT = 512
+SPP = 64
+BWD_SPP = 16
+BSDF_SAMPLES = LIGHT_SAMPLES = 1
 
 
 def _baselines():
@@ -37,6 +47,7 @@ def _baselines():
 
 
 def _bench(step, args, n_iter):
+    import jax
     out = step(*args(0))  # compile + warmup
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -46,27 +57,19 @@ def _bench(step, args, n_iter):
     return (time.perf_counter() - t0) / n_iter
 
 
-def main():
+def _backward_child() -> None:
+    """Measure the backward step and print the raw seconds-per-step."""
+    import jax
+    import jax.numpy as jnp
     from psdr_tpu import DirectIntegrator
     from tests.scenes import cbox_scene
 
-    width = height = 512
-    spp = 64
-    bsdf_samples = light_samples = 1
-    integrator = DirectIntegrator(bsdf_samples, light_samples)
-    baselines = _baselines()
-    lanes = width * height * spp
-
-    # backward first: the grad program hits a TPU runtime InvalidArgument
-    # when compiled after the big forward program in the same process (the
-    # identical program succeeds standalone — tunnel-server state), while
-    # forward-after-backward is fine. Metrics still print forward-first.
-    bwd_spp = 16
-    scene_b = cbox_scene(width=width, height=height, spp=bwd_spp,
+    scene_b = cbox_scene(width=WIDTH, height=HEIGHT, spp=BWD_SPP,
                          occluder_subdiv=5)
+    integrator = DirectIntegrator(BSDF_SAMPLES, LIGHT_SAMPLES)
     render_b = integrator.render_fn(scene_b, with_boundary=False)
     params_b = scene_b.params()
-    target = jnp.zeros((width * height, 3), jnp.float32)
+    target = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
 
     @jax.jit
     def grad_step(p, key):
@@ -77,15 +80,44 @@ def main():
 
     dt_b = _bench(grad_step, lambda i: (params_b, jax.random.PRNGKey(i)),
                   n_iter=3)
-    grad_samples_per_s = width * height * bwd_spp / dt_b
+    print(json.dumps({"dt_backward": dt_b}), flush=True)
 
-    scene = cbox_scene(width=width, height=height, spp=spp,
+
+def main():
+    if "--backward-child" in sys.argv:
+        _backward_child()
+        return
+
+    baselines = _baselines()
+
+    # child measures backward first (runs to completion before the parent
+    # compiles anything — one TPU process at a time)
+    child = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__), "--backward-child"],
+        capture_output=True, text=True, timeout=3600)
+    dt_b = None
+    for line in child.stdout.splitlines():
+        try:
+            dt_b = json.loads(line).get("dt_backward", dt_b)
+        except (json.JSONDecodeError, AttributeError):
+            pass
+    if dt_b is None:
+        sys.stderr.write(child.stdout[-2000:] + child.stderr[-2000:])
+
+    import jax
+    import jax.random
+    from psdr_tpu import DirectIntegrator
+    from tests.scenes import cbox_scene
+
+    scene = cbox_scene(width=WIDTH, height=HEIGHT, spp=SPP,
                        occluder_subdiv=5)
+    integrator = DirectIntegrator(BSDF_SAMPLES, LIGHT_SAMPLES)
     render = jax.jit(integrator.render_fn(scene, with_boundary=False))
     params = scene.params()
 
     dt = _bench(render, lambda i: (params, jax.random.PRNGKey(i)), n_iter=5)
-    rays = lanes * (1 + bsdf_samples + light_samples)
+    lanes = WIDTH * HEIGHT * SPP
+    rays = lanes * (1 + BSDF_SAMPLES + LIGHT_SAMPLES)
     rays_per_s = rays / dt
     fwd_base = float(baselines.get("rays_per_s", 1.0))
     print(json.dumps({
@@ -95,13 +127,15 @@ def main():
         "vs_baseline": rays_per_s / fwd_base,
     }), flush=True)
 
-    bwd_base = float(baselines.get("grad_samples_per_s", 1.0))
-    print(json.dumps({
-        "metric": "backward_grad_samples_per_s_per_chip",
-        "value": grad_samples_per_s,
-        "unit": "grad-samples/s",
-        "vs_baseline": grad_samples_per_s / bwd_base,
-    }), flush=True)
+    if dt_b is not None:
+        grad_samples_per_s = WIDTH * HEIGHT * BWD_SPP / dt_b
+        bwd_base = float(baselines.get("grad_samples_per_s", 1.0))
+        print(json.dumps({
+            "metric": "backward_grad_samples_per_s_per_chip",
+            "value": grad_samples_per_s,
+            "unit": "grad-samples/s",
+            "vs_baseline": grad_samples_per_s / bwd_base,
+        }), flush=True)
 
 
 if __name__ == "__main__":

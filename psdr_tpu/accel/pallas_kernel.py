@@ -350,12 +350,13 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
-                    out_ref, occ_v, occ_smem, boxes_smem, subboxes_smem,
-                    osem, bsem, ssem, scratch, sems, *,
+                    out_ref, occ_v, tn_v, occ_smem, boxes_smem,
+                    subboxes_smem, osem, bsem, ssem, scratch, sems, *,
                     tri_block, b_pad, cull_chunk, any_hit, n_slots,
-                    sub_split, debug_counters=False):
+                    sub_split, n_buckets, debug_counters=False):
     T = tri_block
     R = rays_ref.shape[1]
+    NB = n_buckets
 
     out_ref[0, :] = rays_ref[6, :]                      # t = tmax
     out_ref[1:2, :] = pltpu.bitcast(
@@ -417,9 +418,25 @@ def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
             tf_hi = jnp.minimum(tf_hi, t_hi)
         hitm = (tn_lo <= tf_hi) & (boxes_ref[6:7, s] > 0.0) & any_active
         occ_v[0:1, s] = hitm.astype(jnp.float32)
+        if NB > 1:
+            tn_v[0:1, s] = jnp.maximum(tn_lo, 0.0)
         return 0
 
     jax.lax.fori_loop(0, b_pad // cull_chunk, cull_chunk_body, 0)
+
+    if NB > 1:
+        # --- phase A2: front-to-back distance bucketing --------------------
+        # Bucket candidates by the interval cull's conservative entry
+        # distance so near blocks stream first: early close hits shrink
+        # each lane's best t and the per-lane refine then skips far tiles.
+        occ0 = occ_v[0:1, :]
+        tnr = tn_v[0:1, :]
+        tn_min = jnp.min(jnp.where(occ0 > 0.0, tnr, big))
+        tn_max = jnp.max(jnp.where(occ0 > 0.0, tnr, -big))
+        scale = NB / jnp.maximum(tn_max - tn_min, 1e-20)
+        bkt = jnp.clip(jnp.floor((tnr - tn_min) * scale), 0, NB - 1)
+        for k in range(NB):
+            occ_v[k:k + 1, :] = occ0 * (bkt == k).astype(jnp.float32)
     # boxes to SMEM for scalar per-block reads in the phase-C lane refine
     bcp = pltpu.make_async_copy(boxes_ref, boxes_smem, bsem)
     bcp.start()
@@ -435,8 +452,8 @@ def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
     rows = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 1)
     lower_tri = (rows <= cols).astype(jnp.float32)
-    occ_v[0:1, :] = jax.lax.dot_general(
-        occ_v[0:1, :], lower_tri, (((1,), (0,)), ((), ())),
+    occ_v[:, :] = jax.lax.dot_general(
+        occ_v[:, :], lower_tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     cp = pltpu.make_async_copy(occ_v, occ_smem, osem)
     cp.start()
@@ -445,6 +462,8 @@ def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
     if sub_split > 1:
         scp.wait()
     count = occ_smem[0, b_pad - 1].astype(jnp.int32)
+    for k in range(1, NB):
+        count = count + occ_smem[k, b_pad - 1].astype(jnp.int32)
     if debug_counters:
         out_ref[5, :] = out_ref[5, :] + count.astype(jnp.float32)
 
@@ -453,13 +472,27 @@ def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
     n_steps = max(1, b_pad.bit_length())
 
     def nth_occupied(pos):
-        """Smallest j with prefix[j] >= pos + 1."""
-        target = jnp.asarray(pos + 1, jnp.float32)
+        """Block id of global stream position ``pos``: buckets are drained
+        nearest-first, and within a bucket the smallest j with
+        prefix[k][j] >= in-bucket rank."""
+        tgt = jnp.asarray(pos + 1, jnp.float32)
+        row = jnp.int32(NB - 1)
+        target = tgt
+        acc = jnp.float32(0.0)
+        for k in range(NB - 1):
+            ck = occ_smem[k, b_pad - 1]
+            hit_k = (tgt > acc) & (tgt <= acc + ck)
+            row = jnp.where(hit_k, jnp.int32(k), row)
+            target = jnp.where(hit_k, tgt - acc, target)
+            acc = acc + ck
+        if NB > 1:
+            # fall-through: position lands in the last bucket
+            target = jnp.where(row == NB - 1, tgt - acc, target)
         lo = jnp.int32(0)
         hi = jnp.int32(b_pad)
         for _ in range(n_steps):
             mid = (lo + hi) // 2
-            go_right = occ_smem[0, mid] < target
+            go_right = occ_smem[row, mid] < target
             lo = jnp.where(go_right, mid + 1, lo)
             hi = jnp.where(go_right, hi, mid)
         return lo
@@ -637,6 +670,7 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
                                  any_hit: bool = False,
                                  n_slots: int = 2,
                                  sub_split: int = 1,
+                                 front_to_back: bool = False,
                                  interpret: bool = False,
                                  debug_counters: bool = False) -> HitRecord:
     """Block-culled Pallas intersection, cull and compaction in-kernel.
@@ -714,10 +748,11 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         sb_pad = 128
         subboxes = jnp.zeros((8, sb_pad), jnp.float32)
 
+    NB = 8 if front_to_back else 1
     out = pl.pallas_call(
         partial(_culled2_kernel, tri_block=T, b_pad=b_pad,
                 cull_chunk=cull_chunk, any_hit=any_hit, n_slots=n_slots,
-                sub_split=G, debug_counters=debug_counters),
+                sub_split=G, n_buckets=NB, debug_counters=debug_counters),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         grid=(n_rblocks,),
         in_specs=[
@@ -728,8 +763,9 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         ],
         out_specs=pl.BlockSpec((8, rb), lambda i: (0, i)),
         scratch_shapes=[
+            pltpu.VMEM((NB, b_pad), jnp.float32),
             pltpu.VMEM((1, b_pad), jnp.float32),
-            pltpu.SMEM((1, b_pad), jnp.float32),
+            pltpu.SMEM((NB, b_pad), jnp.float32),
             pltpu.SMEM((8, b_pad), jnp.float32),
             pltpu.SMEM((8, sb_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

@@ -69,6 +69,41 @@ def main():
     params = scene.params()
     lanes = width * height * spp
 
+    # micro-probes: the non-render costs (RNG generation, film scatter)
+    from psdr_tpu.integrator.base import (accumulate_image, scan_lane_chunks,
+                                          tiled_pixel_order)
+    from psdr_tpu.core.sampler import RngStream
+    num_pixels = width * height
+    pass_lanes = scene.opts.pass_lanes
+    pix_order = jnp.asarray(tiled_pixel_order(width, height))
+
+    def make_rng_probe(impl):
+        def rng_probe(key):
+            def run(lane, key_c):
+                rng = RngStream(key_c, salt=0)
+                m = lane.shape[0]
+                s = (rng.next_2d(m).sum(-1) + rng.next_3d(m).sum(-1)
+                     + rng.next_2d(m).sum(-1))
+                return jnp.zeros((num_pixels, 3)).at[0, 0].add(s.sum())
+            return scan_lane_chunks(run, lanes, num_pixels, key, pass_lanes)
+        return rng_probe, (lambda i: (jax.random.key(i, impl=impl),))
+
+    def film_probe(key):
+        def run(lane, key_c):
+            idx = pix_order[lane // spp]
+            val = jax.random.uniform(key_c, (lane.shape[0], 3))
+            return accumulate_image(val, idx, num_pixels)
+        return scan_lane_chunks(run, lanes, num_pixels, key, pass_lanes)
+
+    for name, fn, args_fn in [
+        ("rng-threefry", *make_rng_probe("threefry2x32")),
+        ("rng-rbg", *make_rng_probe("rbg")),
+        ("film-scatter", film_probe,
+         lambda i: (jax.random.PRNGKey(i),)),
+    ]:
+        dt = bench(jax.jit(fn), args_fn)
+        print(f"{name:12s} {dt*1e3:9.1f} ms", flush=True)
+
     variants = [
         ("cam", CamOnly(1, 1)),
         ("bounce", BouncePlumb(1, 1)),
@@ -81,6 +116,11 @@ def main():
         dt = bench(render, lambda i: (params, jax.random.PRNGKey(i)))
         print(f"{name:8s} {dt*1e3:9.1f} ms  "
               f"({lanes/dt/1e6:6.2f} Msamples/s)", flush=True)
+        if name == "full":
+            dt = bench(render,
+                       lambda i: (params, jax.random.key(i, impl="rbg")))
+            print(f"full-rbg {dt*1e3:9.1f} ms  "
+                  f"({lanes/dt/1e6:6.2f} Msamples/s)", flush=True)
 
 
 if __name__ == "__main__":

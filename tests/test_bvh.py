@@ -220,6 +220,18 @@ def test_pallas_culled2_matches_brute_interpret():
                                           interpret=True)
         np.testing.assert_array_equal(np.asarray(hb.valid),
                                       np.asarray(a4.valid))
+    # front-to-back bucketed streaming reorders blocks, never results
+    for g in (1, 2):
+        hf = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                          front_to_back=True, sub_split=g,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(hp.tri_id),
+                                      np.asarray(hf.tri_id))
+        af = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
+                                          any_hit=True, front_to_back=True,
+                                          sub_split=g, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.valid),
+                                      np.asarray(af.valid))
     # sub-block lane refine only skips work, never changes results
     for sub_split in (2, 4):
         hs = ray_intersect_pallas_culled2(bvh, o, d, act, tmax=tmax,
