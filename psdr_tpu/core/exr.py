@@ -1,12 +1,12 @@
-"""OpenEXR scanline codec (numpy): read NONE/RLE/ZIPS/ZIP/PIZ/PXR24,
-write NONE/RLE/ZIPS/ZIP/PIZ/PXR24.
+"""OpenEXR scanline codec (numpy): read/write NONE/RLE/ZIPS/ZIP/PIZ/PXR24/
+B44/B44A.
 
 Replaces the reference's vendored tinyexr + miniz (~18k LoC;
 src/core/bitmap_loader.cpp:13-53 ``load_openexr_rgba``) with a compact
 implementation of the subset a differentiable renderer needs: RGB(A)/Y
 scanline images, HALF or FLOAT channels.  Compression coverage is a
 superset of the reference's (tinyexr reads NONE/RLE/ZIPS/ZIP/PIZ; PXR24
-decode/encode is extra).  B44/DWA remain unsupported, as in the reference.
+and B44/B44A are extra).  DWA remains unsupported, as in the reference.
 """
 from __future__ import annotations
 
@@ -15,13 +15,13 @@ import zlib
 
 import numpy as np
 
-from . import piz
+from . import b44, piz
 
 _MAGIC = 0x01312F76
 _PIXEL_TYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
 _COMPRESSION_NAMES = {0: "none", 1: "rle", 2: "zips", 3: "zip", 4: "piz",
                       5: "pxr24", 6: "b44", 7: "b44a", 8: "dwaa", 9: "dwab"}
-_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
 
 
 def _read_attrs(buf: memoryview, pos: int):
@@ -223,7 +223,8 @@ def read_exr(path: str) -> np.ndarray:
     if comp not in _LINES_PER_BLOCK:
         raise ValueError(
             f"{path}: {_COMPRESSION_NAMES.get(comp, comp)} compression not "
-            "supported (supported: none, rle, zips, zip, piz, pxr24)")
+            "supported (supported: none, rle, zips, zip, piz, pxr24, "
+            "b44, b44a)")
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = x1 - x0 + 1, y1 - y0 + 1
     chans = _parse_channels(attrs["channels"][1])  # alphabetical in file
@@ -258,6 +259,21 @@ def read_exr(path: str) -> np.ndarray:
                 vals = np.frombuffer(plane.tobytes(), typ).reshape(ny, width)
                 planes[name][y - y0:y - y0 + ny] = vals.astype(np.float32)
             continue
+        if comp in (6, 7):  # B44(A): HALF as packed 4x4 tiles, rest planar
+            off = 0
+            for name, typ in chans:
+                if typ is np.float16:
+                    p16, off = b44.decode_channel(raw, off, width, ny,
+                                                  comp == 7)
+                    planes[name][y - y0:y - y0 + ny] = (
+                        p16.view(np.float16).astype(np.float32))
+                else:
+                    nb = np.dtype(typ).itemsize * width * ny
+                    vals = np.frombuffer(raw[off:off + nb], typ)
+                    planes[name][y - y0:y - y0 + ny] = (
+                        vals.reshape(ny, width).astype(np.float32))
+                    off += nb
+            continue
         if comp == 5:  # PXR24: per-scanline channel byte planes, zlib'd
             raw = zlib.decompress(raw)
             off = 0
@@ -286,7 +302,7 @@ def read_exr(path: str) -> np.ndarray:
 
 
 _WRITE_COMP = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
-               "pxr24": 5}
+               "pxr24": 5, "b44": 6, "b44a": 7}
 
 
 def write_exr(path: str, img: np.ndarray, compression: str = "zip",
@@ -339,6 +355,16 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
                     np.uint16).reshape(ny, width * words)
                 for n in names]
             packed = piz.compress_block(chans16, [words] * len(names))
+        elif comp_id in (6, 7):
+            parts = []
+            for n in names:
+                ch = img[y:y + ny, :, src[n]].astype(dtype)
+                if half:
+                    parts.append(b44.encode_channel(
+                        ch.view(np.uint16), comp_id == 7))
+                else:  # non-HALF channels are stored planar, uncompressed
+                    parts.append(ch.tobytes())
+            packed = b"".join(parts)
         elif comp_id == 5:
             parts = []
             for line in range(ny):

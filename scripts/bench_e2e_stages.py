@@ -8,9 +8,13 @@ Five variants of the flagship Direct render, cumulative in work:
   full     DirectIntegrator(1,1): the bench.py headline config
 
 The deltas localize where forward time goes (kernel vs shading vs sort vs
-film scatter). One process, one jit per variant (CLAUDE.md tunnel rules).
+film scatter). Each large variant runs in its own child process: through
+the axon tunnel the second large program in one process dies with a
+server-side INVALID_ARGUMENT (CLAUDE.md rule 7); small micro-probes can
+chain freely and stay in the parent.
 """
 import os
+import subprocess
 import sys
 import time
 
@@ -61,7 +65,40 @@ def bench(step, args_fn, n_iter=3):
     return (time.perf_counter() - t0) / n_iter
 
 
+VARIANTS = ["cam", "bounce", "bsdf", "nee", "full", "full-rbg"]
+
+
+def _run_variant(name: str) -> None:
+    """Child: compile+time one large render program, print one line."""
+    width = height = 512
+    spp = 64
+    scene = cbox_scene(width=width, height=height, spp=spp,
+                       occluder_subdiv=5)
+    params = scene.params()
+    lanes = width * height * spp
+    integ = {
+        "cam": CamOnly(1, 1),
+        "bounce": BouncePlumb(1, 1),
+        "bsdf": DirectIntegrator(1, 0),
+        "nee": DirectIntegrator(0, 1),
+        "full": DirectIntegrator(1, 1),
+        "full-rbg": DirectIntegrator(1, 1),
+    }[name]
+    render = jax.jit(integ.render_fn(scene, with_boundary=False))
+    if name == "full-rbg":
+        args_fn = lambda i: (params, jax.random.key(i, impl="rbg"))
+    else:
+        args_fn = lambda i: (params, jax.random.PRNGKey(i))
+    dt = bench(render, args_fn)
+    print(f"{name:8s} {dt*1e3:9.1f} ms  "
+          f"({lanes/dt/1e6:6.2f} Msamples/s)", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] in VARIANTS:
+        _run_variant(sys.argv[1])
+        return
+
     width = height = 512
     spp = 64
     scene = cbox_scene(width=width, height=height, spp=spp,
@@ -95,32 +132,24 @@ def main():
             return accumulate_image(val, idx, num_pixels)
         return scan_lane_chunks(run, lanes, num_pixels, key, pass_lanes)
 
-    for name, fn, args_fn in [
-        ("rng-threefry", *make_rng_probe("threefry2x32")),
-        ("rng-rbg", *make_rng_probe("rbg")),
-        ("film-scatter", film_probe,
-         lambda i: (jax.random.PRNGKey(i),)),
-    ]:
-        dt = bench(jax.jit(fn), args_fn)
-        print(f"{name:12s} {dt*1e3:9.1f} ms", flush=True)
+    if "--probes" in sys.argv:  # measured r2: threefry 0.3ms, rbg 1.3ms,
+        for name, fn, args_fn in [  # film-scatter 408ms (dense path: 0)
+            ("rng-threefry", *make_rng_probe("threefry2x32")),
+            ("rng-rbg", *make_rng_probe("rbg")),
+            ("film-scatter", film_probe,
+             lambda i: (jax.random.PRNGKey(i),)),
+        ]:
+            dt = bench(jax.jit(fn), args_fn)
+            print(f"{name:12s} {dt*1e3:9.1f} ms", flush=True)
 
-    variants = [
-        ("cam", CamOnly(1, 1)),
-        ("bounce", BouncePlumb(1, 1)),
-        ("bsdf", DirectIntegrator(1, 0)),
-        ("nee", DirectIntegrator(0, 1)),
-        ("full", DirectIntegrator(1, 1)),
-    ]
-    for name, integ in variants:
-        render = jax.jit(integ.render_fn(scene, with_boundary=False))
-        dt = bench(render, lambda i: (params, jax.random.PRNGKey(i)))
-        print(f"{name:8s} {dt*1e3:9.1f} ms  "
-              f"({lanes/dt/1e6:6.2f} Msamples/s)", flush=True)
-        if name == "full":
-            dt = bench(render,
-                       lambda i: (params, jax.random.key(i, impl="rbg")))
-            print(f"full-rbg {dt*1e3:9.1f} ms  "
-                  f"({lanes/dt/1e6:6.2f} Msamples/s)", flush=True)
+    # one child per large program, sequential (one TPU process at a time)
+    for name in VARIANTS:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=3600)
+        out = [l for l in r.stdout.splitlines() if l.startswith(name)]
+        print(out[0] if out else f"{name:8s} FAILED\n{r.stdout[-500:]}"
+              f"{r.stderr[-500:]}", flush=True)
 
 
 if __name__ == "__main__":

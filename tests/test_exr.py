@@ -105,3 +105,86 @@ def test_rle_and_pxr24_compress_ratio(tmp_path):
         assert os.path.getsize(p) < raw_size
         np.testing.assert_array_equal(
             read_exr(p), img.astype(np.float16).astype(np.float32))
+
+
+# -- B44 / B44A (beyond-reference: tinyexr cannot read these) ---------------
+
+def test_b44_exact_when_deltas_fit(tmp_path):
+    # tiles whose chain-neighbor deltas fit 6 bits reconstruct bit-exactly
+    # (shift=0 path) -- a sharp test of the 6-bit chain/bit layout
+    base = np.float16(1.5)
+    ii, jj = np.meshgrid(np.arange(24), np.arange(36), indexing="ij")
+    bits = (base.view(np.uint16)
+            + (3 * ii + 2 * jj)[..., None] + np.arange(3))
+    img = bits.astype(np.uint16).view(np.float16).astype(np.float32)
+    for comp in ("b44", "b44a"):
+        p = str(tmp_path / f"x_{comp}.exr")
+        write_exr(p, img, compression=comp, half=True)
+        np.testing.assert_array_equal(read_exr(p), img)
+
+
+def test_b44_shifted_deltas_exact(tmp_path):
+    # deltas divisible by 2**shift round exactly at that shift
+    base = np.float16(1.0).view(np.uint16)
+    ii, jj = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    bits = base + (((3 * ii + 2 * jj)[..., None] + np.arange(3)) << 4)
+    img = bits.astype(np.uint16).view(np.float16).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    write_exr(p, img, compression="b44", half=True)
+    np.testing.assert_array_equal(read_exr(p), img)
+
+
+def test_b44a_flat_tiles_smaller(tmp_path):
+    img = np.full((32, 64, 3), 0.25, np.float32)
+    pa = str(tmp_path / "a.exr")
+    pb = str(tmp_path / "b.exr")
+    write_exr(pa, img, compression="b44a", half=True)
+    write_exr(pb, img, compression="b44", half=True)
+    np.testing.assert_array_equal(read_exr(pa), img)
+    np.testing.assert_array_equal(read_exr(pb), img)
+    assert os.path.getsize(pa) < os.path.getsize(pb)
+
+
+@pytest.mark.parametrize("shape", [(1, 100, 1), (100, 1, 3), (5, 3, 3),
+                                   (33, 47, 4), (37, 53, 3)])
+def test_b44_awkward_shapes_lossy_bound(tmp_path, shape):
+    rng = np.random.default_rng(shape[0] * 977 + shape[1])
+    h, w = shape[:2]
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    smooth = 1.0 + 0.5 * np.sin(ii / 7.0 + jj / 5.0)[..., None]
+    img = (smooth + 0.01 * rng.standard_normal(shape)).astype(np.float32)
+    ref = img.astype(np.float16).astype(np.float32)
+    for comp in ("b44", "b44a"):
+        p = str(tmp_path / "x.exr")
+        write_exr(p, img, compression=comp, half=True)
+        back = read_exr(p)
+        # smooth data has small chain deltas -> small shift -> tight error
+        np.testing.assert_allclose(back, ref, rtol=0.02, atol=1e-4)
+    # pure noise is the worst case for 6-bit delta quantization; only
+    # assert no gross corruption
+    noise = (np.abs(rng.standard_normal(shape)) + 0.1).astype(np.float32)
+    nref = noise.astype(np.float16).astype(np.float32)
+    p = str(tmp_path / "n.exr")
+    write_exr(p, noise, compression="b44", half=True)
+    np.testing.assert_allclose(read_exr(p), nref, rtol=0.3, atol=1e-4)
+
+
+def test_b44_float_channels_raw_planar(tmp_path):
+    # FLOAT channels pass through uncompressed inside B44 blocks
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((40, 24, 3)).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    write_exr(p, img, compression="b44", half=False)
+    np.testing.assert_array_equal(read_exr(p), img)
+
+
+def test_b44_mixed_flat_and_detail_tiles(tmp_path):
+    # B44A streams interleave 3-byte and 14-byte tiles; the decoder must
+    # track variable tile boundaries
+    rng = np.random.default_rng(12)
+    img = np.full((32, 32, 3), 2.0, np.float32)
+    img[4:8, 8:16] = np.abs(rng.standard_normal((4, 8, 3))) + 0.5
+    ref = img.astype(np.float16).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    write_exr(p, img, compression="b44a", half=True)
+    np.testing.assert_allclose(read_exr(p), ref, rtol=0.12, atol=1e-4)
