@@ -35,8 +35,8 @@ from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..emitter.envmap import envmap_eval_direction
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
-                           ray_intersect, ray_test,
-                           sample_boundary_segment_direct,
+                           ray_intersect, ray_intersect_emitter_first,
+                           ray_test, sample_boundary_segment_direct,
                            sample_emitter_position, scene_le)
 from ..sensor.perspective import sample_direct, sample_primary_ray
 from .base import Integrator, accumulate_image
@@ -97,8 +97,13 @@ class DirectIntegrator(Integrator):
             active1 = active & bs.valid
 
             ray1 = Ray(its.p, to_world(its.sh_frame, bs.wo))
-            its1 = ray_intersect(flat, ray1, active1, path_space=True,
-                                 sort_rays=True)
+            # the bounce hit only matters where it lands on an emitter, so
+            # the full-scene closest hit reduces to emitter-hit + occlusion
+            if flat.em_tri_idx is not None:
+                its1 = ray_intersect_emitter_first(flat, ray1, active1)
+            else:
+                its1 = ray_intersect(flat, ray1, active1, path_space=True,
+                                     sort_rays=True)
             active1 = active1 & its1.valid & its1.is_emitter()
 
             # area-measure conversion with detached G (direct.cpp:83-95)

@@ -72,6 +72,10 @@ class FlatScene(NamedTuple):
     upper: jax.Array
     accel: Optional[BVH] = None  # refit BVH; None -> brute force
     accel_kind: str = "culled"   # "culled" (block-cull dense) | "bvh" (walk)
+    # (E,) int32 global face ids of all emitter geometry (area-light faces +
+    # envmap bounding mesh), or None when absent/too large — enables the
+    # emitter-first bounce query (ray_intersect_emitter_first)
+    em_tri_idx: Optional[jax.Array] = None
 
 
 class Scene:
@@ -407,6 +411,22 @@ class Scene:
                 and self._bvh_topo.num_faces == tri.p0.shape[0]):
             accel = refit_bvh(self._bvh_topo, tri.p0, tri.e1, tri.e2)
 
+        # static emitter-face index set (mesh->emitter assignment is static)
+        em_rows = [np.arange(face_offset[i], face_offset[i + 1],
+                             dtype=np.int32)
+                   for i, mesh in enumerate(self.meshes)
+                   if mesh.emitter_id >= 0]
+        if bound_info is not None:
+            em_rows.append(np.arange(face_offset[-1], face_offset[-1] + 12,
+                                     dtype=np.int32))
+        em_tri_idx = None
+        if em_rows:
+            em_cat = np.concatenate(em_rows)
+            # the emitter-first query sweeps these densely per bounce ray;
+            # past a few thousand faces the full accel path wins again
+            if em_cat.shape[0] <= 8192:
+                em_tri_idx = jnp.asarray(em_cat)
+
         self.face_offset = face_offset
         if self.accel_mode == "bvh":          # demoted alias (see __init__)
             accel_kind = "culled"
@@ -431,7 +451,8 @@ class Scene:
             emitter_face_distrb=tuple(face_distrbs),
             sensors=tuple(sensor_states),
             bsdfs=tuple(b_params for b_params in params["bsdfs"]),
-            envmap=envmap, lower=lower, upper=upper)
+            envmap=envmap, lower=lower, upper=upper,
+            em_tri_idx=em_tri_idx)
 
     @property
     def bsdf_kinds(self):
@@ -455,7 +476,10 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 4096):
     """Stable within-segment reorder by direction octant: keeps the lane
     order's origin (pixel-tile) coherence while grouping directions, so
     block-culled backends see tighter frusta for hemisphere-spread bounce
-    rays. Returns (permutation, inverse permutation)."""
+    rays. Inactive lanes sort to the end of each segment, so sparse
+    wavefronts (e.g. the emitter-first occlusion sweep) compact their
+    active lanes into few ray blocks and the rest exit at the cull phase.
+    Returns (permutation, inverse permutation)."""
     d = sg(ray.d)
     n = d.shape[0]
     s = min(seg, n)
@@ -464,6 +488,7 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 4096):
     octant = ((d[:, 0] > 0).astype(jnp.int32)
               + 2 * (d[:, 1] > 0).astype(jnp.int32)
               + 4 * (d[:, 2] > 0).astype(jnp.int32))
+    octant = jnp.where(sg(active), octant, 8)
     keys = octant.reshape(n // s, s)
     local = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
     base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
@@ -515,22 +540,57 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
 
 
 def ray_test(flat: FlatScene, ray: Ray, dist: jax.Array,
-             active: jax.Array) -> jax.Array:
+             active: jax.Array, sort_rays: bool = False) -> jax.Array:
     """Occlusion query: True where some surface lies strictly closer than
     ``dist - ShadowEpsilon``. The tmax bound lets the block-culled backends
     prune every triangle block beyond the light — cheaper than the
     closest-hit + distance-compare the reference uses."""
     from ..core.constants import ShadowEpsilon
     tmax = sg(dist) - ShadowEpsilon
-    hit = _closest_hit(flat, ray, active, tmax=tmax, any_hit=True)
+    hit = _closest_hit(flat, ray, active, tmax=tmax, any_hit=True,
+                       sort_rays=sort_rays)
     return hit.valid & active
+
+
+def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
+                                sort_rays: bool = True):
+    """Closest hit restricted to emitter geometry, plus a tmax-bounded
+    any-hit occlusion sweep of the full scene.
+
+    Exact replacement for a full closest-hit wherever the caller consumes
+    the hit only on emitter lanes (the reference's BSDF-sampled MIS term,
+    direct.cpp:76-99): a bounce ray contributes iff its global closest hit
+    lies on an emitter, i.e. iff the nearest emitter hit exists and nothing
+    occludes it (same ShadowEpsilon convention as NEE's ray_test). The
+    emitter face set is tiny (area-light faces + the envmap bounding mesh),
+    so its closest hit is a cheap dense sweep, and the occlusion query is
+    active only on the lanes that actually point at an emitter — replacing
+    the incoherent full-scene closest hit that dominated the e2e forward
+    (60% of frame time, round-2 stage bench).
+    """
+    idxs = flat.em_tri_idx
+    hit_e = ray_intersect_brute(flat.tri.p0[idxs], flat.tri.e1[idxs],
+                                flat.tri.e2[idxs], ray.o, ray.d, active)
+    valid_e = hit_e.valid & active
+    occluded = ray_test(flat, ray, jnp.where(valid_e, hit_e.t, 0.0),
+                        valid_e, sort_rays=sort_rays)
+    valid = valid_e & ~occluded
+    hit = hit_e._replace(
+        valid=valid,
+        tri_id=jnp.where(valid, idxs[jnp.maximum(hit_e.tri_id, 0)], -1),
+        t=jnp.where(valid, hit_e.t, jnp.inf))
+    return ray_intersect(flat, ray, active, path_space=True, hit=hit)
 
 
 def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
                   path_space: bool = False, want_tri_info: bool = False,
-                  sort_rays: bool = False):
-    """Detached closest hit + differentiable recompute (scene.cpp:289-384)."""
-    hit = _closest_hit(flat, ray, active, sort_rays=sort_rays)
+                  sort_rays: bool = False, hit=None):
+    """Detached closest hit + differentiable recompute (scene.cpp:289-384).
+
+    ``hit``: optional precomputed detached HitRecord (e.g. from the
+    emitter-first query) — skips the closest-hit dispatch."""
+    if hit is None:
+        hit = _closest_hit(flat, ray, active, sort_rays=sort_rays)
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
