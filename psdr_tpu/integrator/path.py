@@ -28,8 +28,8 @@ from ..core.math import dot, sqr, squared_norm
 from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
-                           ray_intersect, ray_test, sample_emitter_position,
-                           scene_le)
+                           ray_intersect, ray_intersect_emitter_first,
+                           ray_test, sample_emitter_position, scene_le)
 from .base import Integrator
 from .direct import DirectIntegrator, _emitter_meta, _mdiv
 
@@ -114,8 +114,15 @@ class PathTracer(Integrator):
             active_b = active & bs.valid
 
             ray_b = Ray(its.p, to_world(its.sh_frame, bs.wo))
-            its_b = ray_intersect(flat, ray_b, active_b, path_space=True,
-                                 sort_rays=True)
+            last = _depth == self.max_depth - 1
+            if last and flat.em_tri_idx is not None:
+                # the final bounce has no continuation: only the MIS-
+                # weighted emitter hit consumes its_b, so the full-scene
+                # closest hit reduces to emitter-hit + occlusion (direct.py)
+                its_b = ray_intersect_emitter_first(flat, ray_b, active_b)
+            else:
+                its_b = ray_intersect(flat, ray_b, active_b, path_space=True,
+                                      sort_rays=True)
             hit_b = active_b & its_b.valid
 
             wo_b = its_b.p - its.p
@@ -138,10 +145,13 @@ class PathTracer(Integrator):
             result = result + jnp.where(hit_em[..., None],
                                         beta * contrib_b, 0.0)
 
-            # advance the path
-            beta = jnp.where(hit_b[..., None], beta * f_over_pdf, 0.0)
-            active = hit_b & (its_b.bsdf_id >= 0) & jnp.any(beta > 0.0, -1)
-            its = its_b
+            # advance the path (dead on the last bounce; with emitter-first
+            # its_b is then only valid on emitter lanes and must not feed a
+            # continuation)
+            if not last:
+                beta = jnp.where(hit_b[..., None], beta * f_over_pdf, 0.0)
+                active = hit_b & (its_b.bsdf_id >= 0) & jnp.any(beta > 0.0, -1)
+                its = its_b
 
         return result
 

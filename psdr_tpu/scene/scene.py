@@ -472,24 +472,26 @@ _BOUND_FACES = [
 
 # -- device-side scene queries (pure functions over FlatScene) ---------------
 
-def _octant_sort(ray: Ray, active: jax.Array, seg: int = 4096):
-    """Stable within-segment reorder by direction octant: keeps the lane
-    order's origin (pixel-tile) coherence while grouping directions, so
-    block-culled backends see tighter frusta for hemisphere-spread bounce
-    rays. Inactive lanes sort to the end of each segment, so sparse
-    wavefronts (e.g. the emitter-first occlusion sweep) compact their
-    active lanes into few ray blocks and the rest exit at the cull phase.
-    Returns (permutation, inverse permutation)."""
+def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15):
+    """Stable within-segment reorder by quantized direction: groups lanes
+    into 64 direction bins (4x4x4 per-component quantization) inside
+    32k-lane segments, trading some origin (pixel-tile) coherence for much
+    tighter direction cones per ray block — measured +32% kernel throughput
+    over 8-octant/4k-segment sorting on hemisphere-spread bounce rays
+    (scripts/bench_bounce_parts.py, r2). Inactive lanes sort to the end of
+    each segment, so sparse wavefronts (e.g. the emitter-first occlusion
+    sweep) compact their active lanes into few ray blocks and the rest exit
+    at the cull phase. Returns (permutation, inverse permutation)."""
     d = sg(ray.d)
     n = d.shape[0]
-    s = min(seg, n)
+    s = seg if n % seg == 0 else 4096
+    s = min(s, n)
     if n % s != 0:
         return None, None
-    octant = ((d[:, 0] > 0).astype(jnp.int32)
-              + 2 * (d[:, 1] > 0).astype(jnp.int32)
-              + 4 * (d[:, 2] > 0).astype(jnp.int32))
-    octant = jnp.where(sg(active), octant, 8)
-    keys = octant.reshape(n // s, s)
+    q = jnp.clip(((d + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    key = q[:, 0] * 16 + q[:, 1] * 4 + q[:, 2]
+    key = jnp.where(sg(active), key, 64)
+    keys = key.reshape(n // s, s)
     local = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
     base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
     perm = (local + base).reshape(n)
@@ -523,11 +525,15 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
             from ..accel.pallas_kernel import ray_intersect_pallas_culled2
             # tuned on v5e @ 82k tris / 1M coherent rays (bench_p2_sweep):
             # R=1024 beats 512 by ~8%; sub-block refine G=2 best for
-            # closest-hit (+9%), G=4 for any-hit occlusion queries (+4%)
+            # closest-hit (+9%), G=4 for any-hit occlusion queries (+4%).
+            # front-to-back block streaming: +14% coherent / +15% bounce
+            # closest-hit (bench_ftb_coherent, bench_bounce_parts); any-hit
+            # keeps plain order (early exit already dominates)
             hit = ray_intersect_pallas_culled2(flat.accel, q_o, q_d, q_act,
                                                tmax=q_tmax, any_hit=any_hit,
                                                ray_block=1024,
-                                               sub_split=4 if any_hit else 2)
+                                               sub_split=4 if any_hit else 2,
+                                               front_to_back=not any_hit)
         else:
             hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
                                        tmax=q_tmax)
