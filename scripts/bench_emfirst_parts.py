@@ -1,0 +1,156 @@
+"""Decompose ray_intersect_emitter_first (the new bounce section costs
+~2.2s/frame at 16.7M lanes; probes at 2M = one pass chunk).
+
+  em-brute       closest hit vs the emitter face set alone
+  occl-sorted    sparse any-hit occlusion, 64-bin sorted (production)
+  occl-unsorted  same without the sort machinery
+  recompute      differentiable path-space recompute given a hit
+  emfirst-full   the full production query
+  sample-bsdf    sample_bsdf alone on the camera hits
+Each probe runs in a child process: chaining several build+kernel
+programs in one process can hit the tunnel's second-large-program
+INVALID_ARGUMENT (CLAUDE.md rule 7).
+"""
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psdr_tpu.accel.bruteforce import ray_intersect_brute
+from psdr_tpu.core.records import Ray
+from psdr_tpu.core.sampler import RngStream
+from psdr_tpu.core.frame import to_world
+from psdr_tpu.integrator.base import tiled_pixel_order
+from psdr_tpu.integrator.direct import sample_bsdf
+from psdr_tpu.scene.scene import (ray_intersect, ray_intersect_emitter_first,
+                                  ray_test)
+from psdr_tpu.sensor.perspective import sample_primary_ray
+from tests.scenes import cbox_scene
+
+sg = jax.lax.stop_gradient
+
+
+def bench(fn, *args, iters=5):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    width = height = 512
+    spp = 8
+    scene = cbox_scene(width=width, height=height, spp=spp,
+                       occluder_subdiv=5)
+    scene.prepare_accel()
+    params = scene.params()
+    n = width * height * spp
+    pix_order = jnp.asarray(tiled_pixel_order(width, height))
+
+    def gen(flat, key):
+        lane = jnp.arange(n, dtype=jnp.int32)
+        idx = pix_order[lane // spp]
+        base = jnp.stack([(idx % width).astype(jnp.float32),
+                          (idx // width).astype(jnp.float32)], axis=-1)
+        rng = RngStream(key, salt=0)
+        samples = (base + rng.next_2d(n)) / jnp.array(
+            [width, height], jnp.float32)
+        ray = sample_primary_ray(flat.sensors[0], samples)
+        its = ray_intersect(flat, ray, jnp.ones(n, bool))
+        bs = sample_bsdf(scene.bsdf_kinds, flat.bsdfs, its,
+                         rng.next_3d(n), its.valid)
+        return its, bs
+
+    @jax.jit
+    def setup(key):
+        flat = scene.build(params)
+        its, bs = gen(flat, key)
+        act = its.valid & bs.valid
+        o = sg(its.p)
+        d = sg(to_world(its.sh_frame, bs.wo))
+        idxs = flat.em_tri_idx
+        hit_e = ray_intersect_brute(flat.tri.p0[idxs], flat.tri.e1[idxs],
+                                    flat.tri.e2[idxs], o, d, act)
+        return o, d, act, hit_e.valid & act, jnp.where(hit_e.valid, hit_e.t, 0.0)
+
+    o, d, act, valid_e, t_e = setup(jax.random.PRNGKey(0))
+    jax.block_until_ready(o)
+    print(f"lanes={n} active={float(act.mean()):.3f} "
+          f"emitter-pointing={float(valid_e.mean()):.3f}", flush=True)
+
+    @jax.jit
+    def p_brute(o, d, act):
+        flat = scene.build(params)
+        idxs = flat.em_tri_idx
+        h = ray_intersect_brute(flat.tri.p0[idxs], flat.tri.e1[idxs],
+                                flat.tri.e2[idxs], o, d, act)
+        return h.t.sum() + h.tri_id.sum()
+
+    @jax.jit
+    def p_occl_sorted(o, d, valid_e, t_e):
+        flat = scene.build(params)
+        return ray_test(flat, Ray(o, d), t_e, valid_e, sort_rays=True).sum()
+
+    @jax.jit
+    def p_occl_unsorted(o, d, valid_e, t_e):
+        flat = scene.build(params)
+        return ray_test(flat, Ray(o, d), t_e, valid_e, sort_rays=False).sum()
+
+    @jax.jit
+    def p_recompute(o, d, act, valid_e, t_e):
+        flat = scene.build(params)
+        idxs = flat.em_tri_idx
+        h = ray_intersect_brute(flat.tri.p0[idxs], flat.tri.e1[idxs],
+                                flat.tri.e2[idxs], o, d, act)
+        hit = h._replace(valid=valid_e,
+                         tri_id=jnp.where(valid_e,
+                                          idxs[jnp.maximum(h.tri_id, 0)], -1),
+                         t=jnp.where(valid_e, h.t, jnp.inf))
+        its = ray_intersect(flat, Ray(o, d), act, path_space=True, hit=hit)
+        return its.p.sum() + its.t.sum() + its.J.sum()
+
+    @jax.jit
+    def p_emfirst(o, d, act):
+        flat = scene.build(params)
+        its = ray_intersect_emitter_first(flat, Ray(o, d), act)
+        return its.p.sum() + its.t.sum() + its.J.sum()
+
+    @jax.jit
+    def p_sample(key):
+        flat = scene.build(params)
+        its, bs = gen(flat, key)
+        return bs.wo.sum() + bs.pdf.sum()
+
+    probes = {
+        "em-brute": (p_brute, (o, d, act)),
+        "occl-sorted": (p_occl_sorted, (o, d, valid_e, t_e)),
+        "occl-unsorted": (p_occl_unsorted, (o, d, valid_e, t_e)),
+        "recompute": (p_recompute, (o, d, act, valid_e, t_e)),
+        "emfirst-full": (p_emfirst, (o, d, act)),
+        "cam+sample": (p_sample, (jax.random.PRNGKey(1),)),
+    }
+    which = [a for a in sys.argv[1:] if a in probes]
+    if which:
+        fn, args = probes[which[0]]
+        dt = bench(fn, *args)
+        print(f"{which[0]:14s} {dt*1e3:8.1f} ms", flush=True)
+        return
+    for name in probes:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=3600)
+        out = [l for l in r.stdout.splitlines() if l.startswith(name)]
+        print(out[0] if out else f"{name:14s} FAILED\n{r.stdout[-300:]}"
+              f"{r.stderr[-300:]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
