@@ -72,6 +72,12 @@ class FlatScene(NamedTuple):
     upper: jax.Array
     accel: Optional[BVH] = None  # refit BVH; None -> brute force
     accel_kind: str = "culled"   # "culled" (block-cull dense) | "bvh" (walk)
+    # (F, 32) packed per-face row table: every per-face field the recompute
+    # gathers, concatenated so the hit recompute is ONE row gather instead
+    # of 14 separate ones (measured 11.7x cheaper on v5e at 2M lanes,
+    # scripts/bench_gather.py). Columns: p0 e1 e2 n0 n1 n2 fn | area |
+    # uv0 uv1 uv2 | fmask | mesh_id bsdf_id emitter_id (ids as exact f32).
+    face_table: Optional[jax.Array] = None
     # (E,) int32 global face ids of all emitter geometry (area-light faces +
     # envmap bounding mesh), or None when absent/too large — enables the
     # emitter-first bounce query (ray_intersect_emitter_first)
@@ -427,6 +433,21 @@ class Scene:
             if em_cat.shape[0] <= 8192:
                 em_tri_idx = jnp.asarray(em_cat)
 
+        uv0 = jnp.concatenate(uv0_l)
+        uv1 = jnp.concatenate(uv1_l)
+        uv2 = jnp.concatenate(uv2_l)
+        fmask = jnp.concatenate(fmask_l)
+        mesh_id = jnp.concatenate(mid_l)
+        bsdf_id = jnp.concatenate(bid_l)
+        emitter_id = jnp.concatenate(eid_l)
+        face_table = jnp.concatenate([
+            tri.p0, tri.e1, tri.e2, tri.n0, tri.n1, tri.n2, tri.face_normal,
+            tri.face_area[:, None], uv0, uv1, uv2,
+            fmask.astype(jnp.float32)[:, None],
+            mesh_id.astype(jnp.float32)[:, None],
+            bsdf_id.astype(jnp.float32)[:, None],
+            emitter_id.astype(jnp.float32)[:, None]], axis=1)
+
         self.face_offset = face_offset
         if self.accel_mode == "bvh":          # demoted alias (see __init__)
             accel_kind = "culled"
@@ -439,12 +460,12 @@ class Scene:
             accel=accel,
             accel_kind=accel_kind,
             tri=tri,
-            uv0=jnp.concatenate(uv0_l), uv1=jnp.concatenate(uv1_l),
-            uv2=jnp.concatenate(uv2_l),
-            face_normal_mask=jnp.concatenate(fmask_l),
-            mesh_id=jnp.concatenate(mid_l),
-            bsdf_id=jnp.concatenate(bid_l),
-            emitter_id=jnp.concatenate(eid_l),
+            uv0=uv0, uv1=uv1, uv2=uv2,
+            face_normal_mask=fmask,
+            mesh_id=mesh_id,
+            bsdf_id=bsdf_id,
+            emitter_id=emitter_id,
+            face_table=face_table,
             sec_edge=sec_edge, sec_distrb=sec_distrb,
             emitter_radiance=radiance, emitter_weight=emitter_weight,
             emitter_inv_area=inv_area, emitter_distrb=emitter_distrb,
@@ -600,8 +621,26 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
-    tri: TriangleInfo = jax.tree.map(lambda a: a[idx], flat.tri)
-    fmask = flat.face_normal_mask[idx]
+    if flat.face_table is not None:
+        # one packed row gather instead of 14 separate table gathers
+        # (11.7x cheaper on v5e at 2M lanes — scripts/bench_gather.py)
+        rows = flat.face_table[idx]
+        tri = TriangleInfo(
+            p0=rows[:, 0:3], e1=rows[:, 3:6], e2=rows[:, 6:9],
+            n0=rows[:, 9:12], n1=rows[:, 12:15], n2=rows[:, 15:18],
+            face_normal=rows[:, 18:21], face_area=rows[:, 21])
+        uv0g, uv1g, uv2g = rows[:, 22:24], rows[:, 24:26], rows[:, 26:28]
+        fmask = rows[:, 28] > 0.5
+        mesh_id_g = rows[:, 29].astype(jnp.int32)
+        bsdf_id_g = rows[:, 30].astype(jnp.int32)
+        emitter_id_g = rows[:, 31].astype(jnp.int32)
+    else:
+        tri = jax.tree.map(lambda a: a[idx], flat.tri)
+        fmask = flat.face_normal_mask[idx]
+        uv0g, uv1g, uv2g = flat.uv0[idx], flat.uv1[idx], flat.uv2[idx]
+        mesh_id_g = flat.mesh_id[idx]
+        bsdf_id_g = flat.bsdf_id[idx]
+        emitter_id_g = flat.emitter_id[idx]
 
     if path_space:
         uv = sg(hit.uv)
@@ -633,15 +672,14 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     sh_n = normalize(bilinear(tri.n0, tri.n1 - tri.n0, tri.n2 - tri.n0, uv))
     sh_n = jnp.where(fmask[..., None], tri.face_normal, sh_n)
     frame = make_frame(sh_n)
-    uv_tex = bilinear(flat.uv0[idx], flat.uv1[idx] - flat.uv0[idx],
-                      flat.uv2[idx] - flat.uv0[idx], uv)
+    uv_tex = bilinear(uv0g, uv1g - uv0g, uv2g - uv0g, uv)
 
     its = Intersection(
         valid=valid, t=t, p=p, n=tri.face_normal, sh_frame=frame,
         uv=uv_tex, wi=to_local(frame, wi_world), J=J,
-        mesh_id=flat.mesh_id[idx], tri_id=hit.tri_id,
-        bsdf_id=jnp.where(valid, flat.bsdf_id[idx], -1),
-        emitter_id=jnp.where(valid, flat.emitter_id[idx], -1))
+        mesh_id=mesh_id_g, tri_id=hit.tri_id,
+        bsdf_id=jnp.where(valid, bsdf_id_g, -1),
+        emitter_id=jnp.where(valid, emitter_id_g, -1))
     if want_tri_info:
         return its, tri
     return its

@@ -81,8 +81,17 @@ def main():
                                     flat.tri.e2[idxs], o, d, act)
         return o, d, act, hit_e.valid & act, jnp.where(hit_e.valid, hit_e.t, 0.0)
 
-    o, d, act, valid_e, t_e = setup(jax.random.PRNGKey(0))
-    jax.block_until_ready(o)
+    out = setup(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    # materialize to host and drop the setup program before compiling the
+    # (large) probe program: two large programs alive in one process hit
+    # the tunnel's INVALID_ARGUMENT (CLAUDE.md rule 7)
+    host = [np.asarray(x) for x in out]
+    del out, setup
+    jax.clear_caches()
+    import gc
+    gc.collect()
+    o, d, act, valid_e, t_e = [jnp.asarray(x) for x in host]
     print(f"lanes={n} active={float(act.mean()):.3f} "
           f"emitter-pointing={float(valid_e.mean()):.3f}", flush=True)
 

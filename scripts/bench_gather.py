@@ -1,0 +1,80 @@
+"""A/B the HBM gather layout used by the differentiable recompute.
+
+ray_intersect gathers ~14 per-face arrays (p0/e1/e2/n0/n1/n2/fn/area,
+uv0/1/2, 3 id columns) at N ray lanes. Hypothesis: one packed (F, 32) f32
+row-gather moves the same data much faster than 14 separate gathers
+(row = 128 contiguous bytes vs 14 scattered 4-12 byte pulls).
+
+Variants (all N=2M lanes, F=82k faces, random indices):
+  sep-14        fourteen separate gathers (current codebase shape)
+  packed-32     one (F,32) row gather, then column slices
+  packed-sorted same, indices pre-sorted (bounce lanes are direction- not
+                index-sorted, but camera lanes are nearly index-sorted)
+  onehot-64     one-hot @ table MXU gather for a tiny 64-row table
+                (the emitter-set recompute case)
+Small programs: safe to chain in one process (CLAUDE.md rule 7).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(fn, *args, iters=10):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    n = 1 << 21
+    f = 81920
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    cols = jax.random.normal(k1, (f, 32), jnp.float32)
+    seps = [cols[:, i * 3:i * 3 + 3] for i in range(8)]          # 8 vec3s
+    seps += [cols[:, 24 + i * 2:26 + i * 2] for i in range(3)]   # 3 vec2s
+    seps += [cols[:, 30], cols[:, 31], cols[:, 0]]               # 3 scalars
+    idx = jax.random.randint(k2, (n,), 0, f, jnp.int32)
+    idx_sorted = jnp.sort(idx)
+    small = cols[:64]
+    idx_small = jax.random.randint(k2, (n,), 0, 64, jnp.int32)
+
+    @jax.jit
+    def sep14(idx):
+        return sum(g[idx].sum() for g in seps)
+
+    @jax.jit
+    def packed(idx):
+        rows = cols[idx]
+        return rows.sum()
+
+    @jax.jit
+    def onehot64(idx):
+        oh = jax.nn.one_hot(idx, 64, dtype=jnp.bfloat16)
+        rows = jnp.dot(oh, small.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return rows.sum()
+
+    @jax.jit
+    def sep_small(idx):
+        return sum(g[:64][idx].sum() for g in seps)
+
+    for name, fn, a in [("sep-14", sep14, idx),
+                        ("packed-32", packed, idx),
+                        ("packed-sorted", packed, idx_sorted),
+                        ("sep-small-64", sep_small, idx_small),
+                        ("onehot-64", onehot64, idx_small)]:
+        dt = bench(fn, a)
+        print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
