@@ -30,7 +30,7 @@ from ..core.math import (bilinear, dot, norm, normalize, rgb2luminance,
                          ray_intersect_triangle)
 from ..core.records import (BoundarySegSample, Intersection, PositionSample,
                             Ray, RenderOptions)
-from ..accel.bruteforce import ray_intersect_brute
+from ..accel.bruteforce import HitRecord, ray_intersect_brute
 from ..accel.bvh import (BVH, build_bvh_topology, ray_intersect_bvh,
                          ray_intersect_culled, refit_bvh)
 from ..bsdf import Diffuse, RoughConductor
@@ -536,9 +536,16 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
     if sort_rays and flat.accel is not None:
         perm, inv = _octant_sort(ray, active)
         if perm is not None:
-            q_o, q_d, q_act = sg(ray.o)[perm], sg(ray.d)[perm], active[perm]
+            # permute via ONE packed row gather (separate per-array gathers
+            # are ~11x more expensive on TPU — scripts/bench_gather.py)
+            packed = jnp.concatenate(
+                [sg(ray.o), sg(ray.d), active.astype(jnp.float32)[:, None]]
+                + ([sg(tmax)[:, None]] if tmax is not None else []), axis=1)
+            packed = packed[perm]
+            q_o, q_d = packed[:, 0:3], packed[:, 3:6]
+            q_act = packed[:, 6] > 0.5
             if tmax is not None:
-                q_tmax = sg(tmax)[perm]
+                q_tmax = packed[:, 7]
     if flat.accel is not None:
         if flat.accel_kind == "bvh_walk":
             hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act, tmax=q_tmax)
@@ -562,7 +569,15 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
         hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
                                   ray.o, ray.d, active, tmax=tmax)
     if perm is not None:
-        hit = jax.tree.map(lambda a: a[inv], hit)
+        # inverse permutation, also as one packed row gather; tri_id < 2^24
+        # so it round-trips f32 exactly
+        hp = jnp.concatenate(
+            [hit.t[:, None], hit.uv,
+             hit.tri_id.astype(jnp.float32)[:, None],
+             hit.valid.astype(jnp.float32)[:, None]], axis=1)[inv]
+        hit = HitRecord(valid=hp[:, 4] > 0.5,
+                        tri_id=hp[:, 3].astype(jnp.int32),
+                        uv=hp[:, 1:3], t=hp[:, 0])
     return hit
 
 
@@ -770,8 +785,17 @@ def sample_boundary_segment_direct(flat: FlatScene, face_offsets, emitter_meta,
     """Sample (edge point p0, emitter point p2) for the direct boundary
     integral (scene.cpp:456-492)."""
     edge_idx, pdf0, s1 = discrete_sample_reuse(flat.sec_distrb, sample3[..., 0])
-    info: SecondaryEdgeInfo = jax.tree.map(lambda a: a[edge_idx], flat.sec_edge)
-    ok = info.valid & (flat.sec_distrb.pmf[edge_idx] > 0.0)
+    se = flat.sec_edge
+    packed = jnp.concatenate(
+        [se.p0, se.e1, se.n0, se.n1, se.p2,
+         se.valid.astype(jnp.float32)[:, None],
+         se.is_boundary.astype(jnp.float32)[:, None],
+         flat.sec_distrb.pmf[:, None]], axis=1)[edge_idx]
+    info = SecondaryEdgeInfo(
+        p0=packed[:, 0:3], e1=packed[:, 3:6], n0=packed[:, 6:9],
+        n1=packed[:, 9:12], p2=packed[:, 12:15],
+        valid=packed[:, 15] > 0.5, is_boundary=packed[:, 16] > 0.5)
+    ok = info.valid & (packed[:, 17] > 0.0)
 
     p0 = info.p0 + info.e1 * s1[..., None]           # differentiable
     edge = normalize(sg(info.e1))

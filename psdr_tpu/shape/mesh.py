@@ -293,16 +293,18 @@ def sample_position(tri_info: TriangleInfo, face_distrb: Discrete,
     idx, _, sx = discrete_sample_reuse(face_distrb, sample2[..., 0])
     st = warp.square_to_uniform_triangle(
         jnp.stack([sx, sample2[..., 1]], axis=-1))
-    p0 = tri_info.p0[idx]
-    e1 = tri_info.e1[idx]
-    e2 = tri_info.e2[idx]
-    fa = tri_info.face_area[idx]
-    p = bilinear(p0, e1, e2, st)
+    # one packed row gather instead of 5 separate table gathers (~11x
+    # cheaper on TPU at wavefront lane counts — scripts/bench_gather.py)
+    packed = jnp.concatenate(
+        [tri_info.p0, tri_info.e1, tri_info.e2, tri_info.face_normal,
+         tri_info.face_area[:, None]], axis=1)[idx]
+    fa = packed[:, 12]
+    p = bilinear(packed[:, 0:3], packed[:, 3:6], packed[:, 6:9], st)
     J = fa / jax.lax.stop_gradient(fa)
     return PositionSample(
         valid=jnp.ones(idx.shape, bool),
         pdf=jnp.broadcast_to(inv_total_area, idx.shape),
         p=p,
-        n=tri_info.face_normal[idx],
+        n=packed[:, 9:12],
         J=J,
     )

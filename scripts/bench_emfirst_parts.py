@@ -7,9 +7,11 @@
   recompute      differentiable path-space recompute given a hit
   emfirst-full   the full production query
   sample-bsdf    sample_bsdf alone on the camera hits
-Each probe runs in a child process: chaining several build+kernel
-programs in one process can hit the tunnel's second-large-program
-INVALID_ARGUMENT (CLAUDE.md rule 7).
+
+ONE large TPU program per process (CLAUDE.md rule 7; clear_caches alone
+was not enough — the setup program + a kernel probe in one process still
+died with INVALID_ARGUMENT): the parent computes the probe inputs on CPU
+and saves them; each probe child loads them and runs exactly one program.
 """
 import os
 import subprocess
@@ -17,6 +19,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--setup" in sys.argv:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax
@@ -45,6 +51,25 @@ def bench(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+_NPZ = "/tmp/emfirst_inputs.npz"
+PROBES = ("em-brute", "occl-sorted", "occl-unsorted", "recompute",
+          "emfirst-full", "cam+sample")
+
+
+def orchestrate():
+    r = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__), "--setup"],
+        capture_output=True, text=True, timeout=3600)
+    print(r.stdout.strip() or r.stderr[-300:], flush=True)
+    for name in PROBES:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=3600)
+        out = [l for l in r.stdout.splitlines() if l.startswith(name)]
+        print(out[0] if out else f"{name:14s} FAILED\n{r.stdout[-300:]}"
+              f"{r.stderr[-300:]}", flush=True)
+
+
 def main():
     width = height = 512
     spp = 8
@@ -69,31 +94,30 @@ def main():
                          rng.next_3d(n), its.valid)
         return its, bs
 
-    @jax.jit
-    def setup(key):
-        flat = scene.build(params)
-        its, bs = gen(flat, key)
-        act = its.valid & bs.valid
-        o = sg(its.p)
-        d = sg(to_world(its.sh_frame, bs.wo))
-        idxs = flat.em_tri_idx
-        hit_e = ray_intersect_brute(flat.tri.p0[idxs], flat.tri.e1[idxs],
-                                    flat.tri.e2[idxs], o, d, act)
-        return o, d, act, hit_e.valid & act, jnp.where(hit_e.valid, hit_e.t, 0.0)
+    if "--setup" in sys.argv:  # CPU child: compute probe inputs once
+        @jax.jit
+        def setup(key):
+            flat = scene.build(params)
+            its, bs = gen(flat, key)
+            act = its.valid & bs.valid
+            o = sg(its.p)
+            d = sg(to_world(its.sh_frame, bs.wo))
+            idxs = flat.em_tri_idx
+            hit_e = ray_intersect_brute(flat.tri.p0[idxs], flat.tri.e1[idxs],
+                                        flat.tri.e2[idxs], o, d, act)
+            return (o, d, act, hit_e.valid & act,
+                    jnp.where(hit_e.valid, hit_e.t, 0.0))
 
-    out = setup(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    # materialize to host and drop the setup program before compiling the
-    # (large) probe program: two large programs alive in one process hit
-    # the tunnel's INVALID_ARGUMENT (CLAUDE.md rule 7)
-    host = [np.asarray(x) for x in out]
-    del out, setup
-    jax.clear_caches()
-    import gc
-    gc.collect()
-    o, d, act, valid_e, t_e = [jnp.asarray(x) for x in host]
-    print(f"lanes={n} active={float(act.mean()):.3f} "
-          f"emitter-pointing={float(valid_e.mean()):.3f}", flush=True)
+        o, d, act, valid_e, t_e = setup(jax.random.PRNGKey(0))
+        np.savez(_NPZ, o=o, d=d, act=act, valid_e=valid_e, t_e=t_e)
+        print(f"lanes={n} active={float(act.mean()):.3f} "
+              f"emitter-pointing={float(valid_e.mean()):.3f}", flush=True)
+        return
+
+    data = np.load(_NPZ) if os.path.exists(_NPZ) else None
+    if data is not None:
+        o, d, act, valid_e, t_e = (jnp.asarray(data[k]) for k in
+                                   ("o", "d", "act", "valid_e", "t_e"))
 
     @jax.jit
     def p_brute(o, d, act):
@@ -147,19 +171,13 @@ def main():
         "cam+sample": (p_sample, (jax.random.PRNGKey(1),)),
     }
     which = [a for a in sys.argv[1:] if a in probes]
-    if which:
-        fn, args = probes[which[0]]
-        dt = bench(fn, *args)
-        print(f"{which[0]:14s} {dt*1e3:8.1f} ms", flush=True)
-        return
-    for name in probes:
-        r = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__), name],
-            capture_output=True, text=True, timeout=3600)
-        out = [l for l in r.stdout.splitlines() if l.startswith(name)]
-        print(out[0] if out else f"{name:14s} FAILED\n{r.stdout[-300:]}"
-              f"{r.stderr[-300:]}", flush=True)
+    fn, args = probes[which[0]]
+    dt = bench(fn, *args)
+    print(f"{which[0]:14s} {dt*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 1:
+        orchestrate()
+    else:
+        main()

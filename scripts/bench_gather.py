@@ -67,11 +67,38 @@ def main():
     def sep_small(idx):
         return sum(g[:64][idx].sum() for g in seps)
 
+    # discrete_sample_reuse cost model: searchsorted (log2 F dependent
+    # gathers) vs a broadcast compare+reduce for small tables
+    u = jax.random.uniform(k2, (n,))
+    cmf_big = jnp.cumsum(jax.random.uniform(k1, (8192,)))
+    cmf_small = jnp.cumsum(jax.random.uniform(k1, (64,)))
+
+    def make_ss(cmf):
+        @jax.jit
+        def ss(u):
+            s = u * cmf[-1]
+            i = jnp.searchsorted(cmf, s, side="left").astype(jnp.int32)
+            i = jnp.clip(i, 0, cmf.shape[0] - 1)
+            prev = jnp.where(i > 0, cmf[jnp.maximum(i - 1, 0)], 0.0)
+            return i.sum() + prev.sum()
+        return ss
+
+    @jax.jit
+    def bcast64(u):
+        s = (u * cmf_small[-1])[:, None]
+        ge = cmf_small[None, :] >= s
+        i = jnp.sum(~ge, axis=1, dtype=jnp.int32)
+        prev = jnp.max(jnp.where(~ge, cmf_small[None, :], 0.0), axis=1)
+        return i.sum() + prev.sum()
+
     for name, fn, a in [("sep-14", sep14, idx),
                         ("packed-32", packed, idx),
                         ("packed-sorted", packed, idx_sorted),
                         ("sep-small-64", sep_small, idx_small),
-                        ("onehot-64", onehot64, idx_small)]:
+                        ("onehot-64", onehot64, idx_small),
+                        ("searchsort-8k", make_ss(cmf_big), u),
+                        ("searchsort-64", make_ss(cmf_small), u),
+                        ("bcast-64", bcast64, u)]:
         dt = bench(fn, a)
         print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
 
