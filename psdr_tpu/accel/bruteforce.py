@@ -72,6 +72,31 @@ def moller_trumbore_tile(ox, oy, oz, dx, dy, dz, tri9):
     return u, v, t
 
 
+def _brute_small_f(p0, e1, e2, ray_o, ray_d, active, tmax) -> HitRecord:
+    """Statically unrolled closest hit for tiny face sets (the emitter-first
+    bounce query's emitter geometry is typically 2-14 faces): every temp is
+    a full (N,) lane vector — the tiled path would pad the F axis to a 128
+    lane tile (64x waste at F=2) and issue per-chunk row gathers."""
+    ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
+    dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+    n = ox.shape[0]
+    t_best = jnp.full((n,), _INF)
+    id_best = jnp.full((n,), -1, jnp.int32)
+    u_best = jnp.zeros((n,), jnp.float32)
+    v_best = jnp.zeros((n,), jnp.float32)
+    for j in range(p0.shape[0]):
+        tri9 = tuple(arr[j, c] for arr in (p0, e1, e2) for c in range(3))
+        u, v, t = moller_trumbore_tile(ox, oy, oz, dx, dy, dz, tri9)
+        closer = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t > RayEpsilon) & (t < tmax) & active & (t < t_best))
+        t_best = jnp.where(closer, t, t_best)
+        id_best = jnp.where(closer, j, id_best)
+        u_best = jnp.where(closer, u, u_best)
+        v_best = jnp.where(closer, v, v_best)
+    return HitRecord(valid=id_best >= 0, tri_id=id_best,
+                     uv=jnp.stack([u_best, v_best], axis=-1), t=t_best)
+
+
 def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
                         ray_o: jax.Array, ray_d: jax.Array,
                         active: jax.Array | None = None,
@@ -95,6 +120,9 @@ def ray_intersect_brute(p0: jax.Array, e1: jax.Array, e2: jax.Array,
         tmax = jnp.full((n_rays,), _INF)
     else:
         tmax = jax.lax.stop_gradient(jnp.broadcast_to(tmax, (n_rays,)))
+
+    if n_tris <= 24:
+        return _brute_small_f(p0, e1, e2, ray_o, ray_d, active, tmax)
 
     tb = min(tri_block, max(8, n_tris))
     f_pad = _ceil_to(n_tris, tb)

@@ -36,14 +36,31 @@ def discrete_sample_reuse(d: Discrete, samples: jax.Array) -> Tuple[jax.Array, j
     """Sample indices ∝ pmf and remap the used samples back to [0, 1).
 
     Returns (idx, pdf_normalized, samples_remapped). Parity: pmf.cpp:29-50.
+
+    Small tables (emitter selection, small area-light face tables) use a
+    broadcast compare + masked reductions instead of searchsorted + gathers:
+    wavefront-sized gathers cost ~4ms per 2M lanes each on TPU while the
+    L-wide compare row is VPU-trivial. Both branches compute identical
+    values (the reductions select actual table entries, no re-derivation).
     """
     s = samples * d.total
-    # first index i with cmf[i] >= s
-    idx = jnp.clip(jnp.searchsorted(d.cmf, s, side="left"), 0, d.size - 1)
-    idx = idx.astype(jnp.int32)
-    prev = jnp.where(idx > 0, d.cmf[jnp.maximum(idx - 1, 0)], 0.0)
+    if d.size <= 32:
+        lt = d.cmf[None, :] < s[..., None]                   # (N, L)
+        idx = jnp.sum(lt, axis=-1, dtype=jnp.int32)
+        idx = jnp.clip(idx, 0, d.size - 1)
+        # cmf ascending => entries with lt are exactly j < idx, so the
+        # masked max IS cmf[idx-1]; pmf[idx] via a static select chain
+        prev = jnp.max(jnp.where(lt, d.cmf[None, :], 0.0), axis=-1)
+        pmf_i = jnp.broadcast_to(d.pmf[0], idx.shape)
+        for i in range(1, d.size):
+            pmf_i = jnp.where(idx == i, d.pmf[i], pmf_i)
+    else:
+        # first index i with cmf[i] >= s
+        idx = jnp.clip(jnp.searchsorted(d.cmf, s, side="left"), 0, d.size - 1)
+        idx = idx.astype(jnp.int32)
+        prev = jnp.where(idx > 0, d.cmf[jnp.maximum(idx - 1, 0)], 0.0)
+        pmf_i = d.pmf[idx]
     residual = s - prev
-    pmf_i = d.pmf[idx]
     remapped = jnp.clip(jnp.where(pmf_i > 0.0, residual / pmf_i, residual), 0.0, 1.0)
     return idx, pmf_i / d.total, remapped
 

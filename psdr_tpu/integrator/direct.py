@@ -37,7 +37,7 @@ from ..emitter.envmap import envmap_eval_direction
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            ray_intersect, ray_intersect_emitter_first,
                            ray_test, sample_boundary_segment_direct,
-                           sample_emitter_position, scene_le)
+                           sample_emitter_position, scene_le, select_rows)
 from ..sensor.perspective import sample_direct, sample_primary_ray
 from .base import Integrator, accumulate_image
 
@@ -143,7 +143,8 @@ class DirectIntegrator(Integrator):
             active1 = active1 & ~occluded & (is_env | (cos_val > 0.0))
 
             le = jnp.where((ps.emitter >= 0)[..., None],
-                           flat.emitter_radiance[jnp.maximum(ps.emitter, 0)],
+                           select_rows(flat.emitter_radiance,
+                                       jnp.maximum(ps.emitter, 0)),
                            0.0)
             if flat.envmap is not None:
                 le = jnp.where(is_env[..., None],

@@ -29,7 +29,8 @@ from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            ray_intersect, ray_intersect_emitter_first,
-                           ray_test, sample_emitter_position, scene_le)
+                           ray_test, sample_emitter_position, scene_le,
+                           select_rows)
 from .base import Integrator
 from .direct import DirectIntegrator, _emitter_meta, _mdiv
 
@@ -88,7 +89,8 @@ class PathTracer(Integrator):
             active_l = active_l & ~occluded & (is_env | (cos_l > 0.0))
 
             le = jnp.where((ps.emitter >= 0)[..., None],
-                           flat.emitter_radiance[jnp.maximum(ps.emitter, 0)],
+                           select_rows(flat.emitter_radiance,
+                                       jnp.maximum(ps.emitter, 0)),
                            0.0)
             if flat.envmap is not None:
                 from ..emitter.envmap import envmap_eval_direction

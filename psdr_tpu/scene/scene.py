@@ -621,25 +621,36 @@ def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
         valid=valid,
         tri_id=jnp.where(valid, idxs[jnp.maximum(hit_e.tri_id, 0)], -1),
         t=jnp.where(valid, hit_e.t, jnp.inf))
-    return ray_intersect(flat, ray, active, path_space=True, hit=hit)
+    # the recompute only ever reads emitter-set rows here, so feed it rows
+    # selected from the compact (E, 32) emitter slice of the face table —
+    # a static select chain instead of a wavefront gather into (F, 32)
+    rows = None
+    if flat.face_table is not None and idxs.shape[0] <= 16:
+        em_table = flat.face_table[idxs]
+        rows = select_rows(em_table, jnp.maximum(hit_e.tri_id, 0))
+    return ray_intersect(flat, ray, active, path_space=True, hit=hit,
+                         rows=rows)
 
 
 def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
                   path_space: bool = False, want_tri_info: bool = False,
-                  sort_rays: bool = False, hit=None):
+                  sort_rays: bool = False, hit=None, rows=None):
     """Detached closest hit + differentiable recompute (scene.cpp:289-384).
 
     ``hit``: optional precomputed detached HitRecord (e.g. from the
-    emitter-first query) — skips the closest-hit dispatch."""
+    emitter-first query) — skips the closest-hit dispatch.
+    ``rows``: optional pre-selected (N, 32) face-table rows matching
+    ``hit.tri_id`` — skips the face-table gather."""
     if hit is None:
         hit = _closest_hit(flat, ray, active, sort_rays=sort_rays)
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
-    if flat.face_table is not None:
+    if rows is not None or flat.face_table is not None:
         # one packed row gather instead of 14 separate table gathers
         # (11.7x cheaper on v5e at 2M lanes — scripts/bench_gather.py)
-        rows = flat.face_table[idx]
+        if rows is None:
+            rows = flat.face_table[idx]
         tri = TriangleInfo(
             p0=rows[:, 0:3], e1=rows[:, 3:6], e2=rows[:, 6:9],
             n0=rows[:, 9:12], n1=rows[:, 12:15], n2=rows[:, 15:18],
@@ -700,6 +711,23 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     return its
 
 
+def select_rows(table: jax.Array, idx: jax.Array,
+                max_unroll: int = 16) -> jax.Array:
+    """``table[idx]`` for a small static first dimension, as a static
+    select chain: on TPU a wavefront-sized gather costs ~4ms per 2M lanes
+    even into a tiny table (scripts/bench_gather.py), while L compares +
+    selects are ~free on the VPU. Falls back to a real gather when the
+    table is large. ``table``: (L, ...); ``idx``: (N,) int32."""
+    L = table.shape[0]
+    if L > max_unroll:
+        return table[idx]
+    expand = (slice(None),) + (None,) * (table.ndim - 1)
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for i in range(1, L):
+        out = jnp.where((idx == i)[expand], table[i], out)
+    return out
+
+
 def scene_le(flat: FlatScene, its: Intersection, active: jax.Array) -> jax.Array:
     """Emitted radiance toward the viewer at a hit (intersection.h Le +
     area.cpp:20-29 one-sidedness; env hits via the bounding mesh)."""
@@ -707,7 +735,7 @@ def scene_le(flat: FlatScene, its: Intersection, active: jax.Array) -> jax.Array
     eid = jnp.maximum(its.emitter_id, 0)
     front = its.wi[..., 2] > 0.0
     le = jnp.where((active & front)[..., None],
-                   flat.emitter_radiance[eid], 0.0)
+                   select_rows(flat.emitter_radiance, eid), 0.0)
     if flat.envmap is not None:
         from ..core.frame import to_world as frame_to_world
         wi_world = frame_to_world(its.sh_frame, its.wi)
@@ -769,12 +797,12 @@ def emitter_position_pdf(flat: FlatScene, emitter_meta, ref_p: jax.Array,
     Uses the *normalized* sampling weights (scene.cpp:192-195)."""
     active = active & its.is_emitter()
     eid = jnp.maximum(its.emitter_id, 0)
-    pdf = flat.emitter_weight[eid] * flat.emitter_inv_area[eid]
+    env_w = select_rows(flat.emitter_weight, eid)
+    pdf = env_w * select_rows(flat.emitter_inv_area, eid)
     pdf = jnp.where(active, pdf, 0.0)
     if flat.envmap is not None:
         env_mask = active & (its.bsdf_id < 0)
         env_pdf = envmap_position_pdf(flat.envmap, ref_p, its.p, its.n, env_mask)
-        env_w = flat.emitter_weight[eid]
         pdf = jnp.where(env_mask, env_w * env_pdf, pdf)
     return pdf
 

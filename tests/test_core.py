@@ -124,3 +124,66 @@ def test_fresnel_normal_incidence():
     k = jnp.array([[0.0, 0.0, 0.0]])
     F = m.fresnel_conductor(eta, k, jnp.array([1.0]))
     assert np.allclose(np.asarray(F), ((2 - 1) / (2 + 1)) ** 2, atol=1e-5)
+
+
+def test_discrete_small_table_matches_searchsorted():
+    """The broadcast small-table branch of discrete_sample_reuse must equal
+    the searchsorted branch bit-exactly (same entries selected, same
+    arithmetic on them)."""
+    import psdr_tpu.core.distribution as dist
+    key = jax.random.PRNGKey(3)
+    pmf = jnp.concatenate([jax.random.uniform(key, (13,)),
+                           jnp.zeros((3,))])  # include zero-mass entries
+    pmf = pmf[jax.random.permutation(key, 16)]
+    d = discrete_init(pmf)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (4096,))
+    u = jnp.concatenate([u, jnp.array([0.0, 0.999999])])
+    i1, p1, r1 = discrete_sample_reuse(d, u)
+
+    # force the large-table branch by faking the size check
+    import unittest.mock as mock
+    with mock.patch.object(type(d), "size",
+                           property(lambda self: 1000)):
+        i2, p2, r2 = discrete_sample_reuse(d, u)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_brute_small_f_matches_tiled():
+    """The statically unrolled small-F brute path must agree with the tiled
+    path exactly (same MT arithmetic)."""
+    from psdr_tpu.accel.bruteforce import (_brute_small_f,
+                                           ray_intersect_brute)
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    p0 = jax.random.normal(k1, (6, 3))
+    e1 = jax.random.normal(k2, (6, 3))
+    e2 = jax.random.normal(k3, (6, 3))
+    o = jax.random.normal(jax.random.PRNGKey(8), (512, 3)) * 3.0
+    dirs = jax.random.normal(jax.random.PRNGKey(9), (512, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    act = jnp.ones((512,), bool)
+    tmax = jnp.full((512,), jnp.inf)
+    a = _brute_small_f(p0, e1, e2, o, dirs, act, tmax)
+    # force the tiled path by exceeding the small-F threshold with copies
+    p0b = jnp.concatenate([p0] * 5)[:25]
+    e1b = jnp.concatenate([e1] * 5)[:25]
+    e2b = jnp.concatenate([e2] * 5)[:25]
+    b = ray_intersect_brute(p0b, e1b, e2b, o, dirs, act)
+    # hits on the duplicated set map back to the same primitives mod 6
+    assert np.array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    assert np.allclose(np.asarray(a.t)[np.asarray(a.valid)],
+                       np.asarray(b.t)[np.asarray(b.valid)], rtol=1e-6)
+
+
+def test_select_rows_matches_gather():
+    from psdr_tpu.scene.scene import select_rows
+    key = jax.random.PRNGKey(11)
+    table = jax.random.normal(key, (7, 3))
+    idx = jax.random.randint(jax.random.PRNGKey(12), (300,), 0, 7)
+    assert np.array_equal(np.asarray(select_rows(table, idx)),
+                          np.asarray(table[idx]))
+    table1 = jax.random.normal(key, (5,))
+    assert np.array_equal(np.asarray(select_rows(table1, idx % 5)),
+                          np.asarray(table1[idx % 5]))
