@@ -91,6 +91,34 @@ def main():
         prev = jnp.max(jnp.where(~ge, cmf_small[None, :], 0.0), axis=1)
         return i.sum() + prev.sum()
 
+    # sort-machinery pieces (the _octant_sort path): segmented stable
+    # argsort of 65-value keys, permutation scatter (.at[perm].set) vs
+    # argsort-of-argsort for the inverse, and scatter-add reference
+    key65 = jax.random.randint(k1, (n,), 0, 65, jnp.int32)
+    seg = 1 << 15
+
+    @jax.jit
+    def seg_argsort(key):
+        ks = key.reshape(n // seg, seg)
+        local = jnp.argsort(ks, axis=1, stable=True).astype(jnp.int32)
+        return local.sum()
+
+    @jax.jit
+    def perm_scatter_inv(perm):
+        return jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32)).sum()
+
+    @jax.jit
+    def argsort_inv(perm):
+        ps = perm.reshape(n // seg, seg)
+        return jnp.argsort(ps, axis=1).astype(jnp.int32).sum()
+
+    @jax.jit
+    def scatter_add_hist(key):
+        return jnp.zeros((65,), jnp.int32).at[key].add(1).sum()
+
+    perm_in = jax.random.permutation(k2, n).astype(jnp.int32)
+
     for name, fn, a in [("sep-14", sep14, idx),
                         ("packed-32", packed, idx),
                         ("packed-sorted", packed, idx_sorted),
@@ -98,7 +126,11 @@ def main():
                         ("onehot-64", onehot64, idx_small),
                         ("searchsort-8k", make_ss(cmf_big), u),
                         ("searchsort-64", make_ss(cmf_small), u),
-                        ("bcast-64", bcast64, u)]:
+                        ("bcast-64", bcast64, u),
+                        ("seg-argsort", seg_argsort, key65),
+                        ("scatter-inv", perm_scatter_inv, perm_in),
+                        ("argsort-inv", argsort_inv, perm_in),
+                        ("scatter-hist", scatter_add_hist, key65)]:
         dt = bench(fn, a)
         print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
 
