@@ -48,12 +48,49 @@ def discrete_sample_reuse(d: Discrete, samples: jax.Array) -> Tuple[jax.Array, j
         lt = d.cmf[None, :] < s[..., None]                   # (N, L)
         idx = jnp.sum(lt, axis=-1, dtype=jnp.int32)
         idx = jnp.clip(idx, 0, d.size - 1)
-        # cmf ascending => entries with lt are exactly j < idx, so the
-        # masked max IS cmf[idx-1]; pmf[idx] via a static select chain
-        prev = jnp.max(jnp.where(lt, d.cmf[None, :], 0.0), axis=-1)
+        # select cmf[idx-1] / pmf[idx] by INDEX (static select chains), not
+        # by masked max over values: XLA's parallel-scan cumsum is not
+        # guaranteed monotone at f32 rounding level, so a value-based max
+        # can pick a different entry than searchsorted's cmf[idx-1]
+        prev = jnp.zeros_like(s)
         pmf_i = jnp.broadcast_to(d.pmf[0], idx.shape)
         for i in range(1, d.size):
+            prev = jnp.where(idx == i, d.cmf[i - 1], prev)
             pmf_i = jnp.where(idx == i, d.pmf[i], pmf_i)
+    elif d.size <= (1 << 18):
+        # two-level broadcast search: count superblock-end cmf entries
+        # below s (VPU broadcast, no gathers), then ONE packed row gather
+        # of the 128-entry sub-cmf block and an in-row count. searchsorted
+        # lowers to log2(n) dependent wavefront gathers (~4ms each on v5e);
+        # this is one row gather + one pmf gather + broadcast compares.
+        # All selected values are actual table entries — identical results.
+        C = 128
+        n_blocks = -(-d.size // C)
+        pad = n_blocks * C - d.size
+        cmf_rows = jnp.pad(d.cmf, (0, pad),
+                           constant_values=jnp.inf).reshape(n_blocks, C)
+        scmf = cmf_rows[:, -1]
+        # end value of the last real block is cmf[-1] (pad is +inf): fix it
+        scmf = scmf.at[-1].set(d.cmf[-1])
+        blk_lt = scmf[None, :] < s[..., None]                # (N, B)
+        blk = jnp.sum(blk_lt, axis=-1, dtype=jnp.int32)
+        blk = jnp.clip(blk, 0, n_blocks - 1)
+        # index-based selects (see small-branch comment: cumsum is not
+        # guaranteed monotone, value-based max can disagree with
+        # searchsorted's cmf[idx-1])
+        biota = jnp.arange(n_blocks, dtype=jnp.int32)
+        prev_blk = jnp.sum(jnp.where(biota[None, :] == (blk - 1)[..., None],
+                                     scmf[None, :], 0.0), axis=-1)
+        row = cmf_rows[blk]                                  # (N, C)
+        in_lt = row < s[..., None]
+        r = jnp.sum(in_lt, axis=-1, dtype=jnp.int32)
+        r = jnp.clip(r, 0, C - 1)
+        idx = jnp.clip(blk * C + r, 0, d.size - 1)
+        ciota = jnp.arange(C, dtype=jnp.int32)
+        prev_in = jnp.sum(jnp.where(ciota[None, :] == (r - 1)[..., None],
+                                    row, 0.0), axis=-1)
+        prev = jnp.where(r > 0, prev_in, prev_blk)
+        pmf_i = d.pmf[idx]
     else:
         # first index i with cmf[i] >= s
         idx = jnp.clip(jnp.searchsorted(d.cmf, s, side="left"), 0, d.size - 1)

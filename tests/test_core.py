@@ -140,10 +140,11 @@ def test_discrete_small_table_matches_searchsorted():
     u = jnp.concatenate([u, jnp.array([0.0, 0.999999])])
     i1, p1, r1 = discrete_sample_reuse(d, u)
 
-    # force the large-table branch by faking the size check
+    # force the searchsorted branch by faking the size check (> 2^18 so
+    # neither small-table nor two-level path is taken)
     import unittest.mock as mock
     with mock.patch.object(type(d), "size",
-                           property(lambda self: 1000)):
+                           property(lambda self: 1 << 20)):
         i2, p2, r2 = discrete_sample_reuse(d, u)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
@@ -187,3 +188,25 @@ def test_select_rows_matches_gather():
     table1 = jax.random.normal(key, (5,))
     assert np.array_equal(np.asarray(select_rows(table1, idx % 5)),
                           np.asarray(table1[idx % 5]))
+
+
+def test_discrete_twolevel_matches_searchsorted():
+    """The two-level broadcast branch (32 < size <= 2^18) must equal the
+    searchsorted branch exactly."""
+    import unittest.mock as mock
+    for n in (33, 300, 8192, 130001):
+        key = jax.random.PRNGKey(n)
+        pmf = jax.random.uniform(key, (n,))
+        # sprinkle zero-mass plateaus
+        pmf = jnp.where(jax.random.uniform(jax.random.PRNGKey(n + 1),
+                                           (n,)) < 0.2, 0.0, pmf)
+        d = discrete_init(pmf)
+        u = jax.random.uniform(jax.random.PRNGKey(n + 2), (20000,))
+        u = jnp.concatenate([u, jnp.array([0.0, 0.9999999])])
+        i1, p1, r1 = discrete_sample_reuse(d, u)
+        with mock.patch.object(type(d), "size",
+                               property(lambda self: 1 << 20)):
+            i2, p2, r2 = discrete_sample_reuse(d, u)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2)), n
+        assert np.array_equal(np.asarray(p1), np.asarray(p2)), n
+        assert np.array_equal(np.asarray(r1), np.asarray(r2)), n
