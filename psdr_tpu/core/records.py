@@ -118,6 +118,10 @@ class RenderOptions:
     # Bounds XLA HLO-temp memory: some (N,3) temporaries get lane-padded
     # 42x by TPU layout assignment.
     pass_lanes: int = 1 << 21
+    # checkpoint each pass chunk: the backward recomputes the chunk forward
+    # instead of spilling its residual intermediates to HBM (memory + HBM
+    # bandwidth for compute, usually a win for wavefront renderers)
+    remat_passes: bool = True
 
     @property
     def num_pixels(self) -> int:

@@ -45,7 +45,8 @@ def accumulate_image(value: jax.Array, pixel_idx: jax.Array,
 
 
 def scan_lane_chunks(run_lanes, n: int, num_pixels: int, key: jax.Array,
-                     pass_lanes: int, lane_range=None) -> jax.Array:
+                     pass_lanes: int, lane_range=None,
+                     remat: bool = False) -> jax.Array:
     """Run ``run_lanes(lane (m,), key) -> (num_pixels, 3) partial image``
     over the wavefront in bounded passes (in-jit lax.scan), summing images.
     Caps XLA HLO-temp memory on huge wavefronts (see RenderOptions.pass_lanes).
@@ -53,10 +54,18 @@ def scan_lane_chunks(run_lanes, n: int, num_pixels: int, key: jax.Array,
     ``lane_range=(start, count)`` restricts the sweep to a slice of the lane
     domain (multi-chip lane sharding; ``start`` may be traced, ``count`` must
     be static). Lanes >= n are masked inside ``run_lanes``.
+
+    ``remat=True`` checkpoints each pass: under ``grad`` the backward then
+    recomputes the pass forward instead of spilling every chunk's residual
+    intermediates (dozens of wavefront-sized arrays per chunk) to HBM —
+    the classic renderer trade (recompute is compute-cheap, residual IO is
+    bandwidth-expensive).
     """
     start, count = (0, n) if lane_range is None else lane_range
     chunk = min(pass_lanes, count)
     n_chunks = -(-count // chunk)
+    if remat:
+        run_lanes = jax.checkpoint(run_lanes)
     if n_chunks == 1:
         return run_lanes(start + jnp.arange(count, dtype=jnp.int32), key)
     keys = jax.random.split(key, n_chunks)
@@ -133,6 +142,11 @@ class Integrator:
                 value, _ = lane_values(lane, key_c)
                 return value.reshape(ppc, spp, 3).sum(axis=1)
 
+            if opts.remat_passes:
+                # see scan_lane_chunks: trade backward residual IO for a
+                # forward recompute of each pass chunk
+                chunk_block = jax.checkpoint(chunk_block)
+
             if n_chunks == 1:
                 tile_img = chunk_block(jnp.int32(0), key)
             else:
@@ -163,7 +177,8 @@ class Integrator:
                                     jnp.where(lane < n, idx, -1), num_pixels)
 
         img = scan_lane_chunks(run_lanes, n, num_pixels, key, opts.pass_lanes,
-                               shard and shard_lane_range(n, shard))
+                               shard and shard_lane_range(n, shard),
+                               remat=opts.remat_passes)
         return img / spp
 
     # -- primary boundary ------------------------------------------------------
@@ -205,7 +220,8 @@ class Integrator:
 
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
                                 opts.pass_lanes,
-                                shard and shard_lane_range(n, shard))
+                                shard and shard_lane_range(n, shard),
+                                remat=opts.remat_passes)
 
     # -- secondary boundary: overridden by integrators that support it ---------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,

@@ -206,7 +206,8 @@ class DirectIntegrator(Integrator):
         from .base import scan_lane_chunks, shard_lane_range
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
                                 opts.pass_lanes,
-                                shard and shard_lane_range(n, shard))
+                                shard and shard_lane_range(n, shard),
+                                remat=opts.remat_passes)
 
     def eval_secondary_edge(self, scene: Scene, flat: FlatScene,
                             sensor_id: int, sample3: jax.Array, ad: bool):

@@ -217,7 +217,8 @@ class PathTracer(Integrator):
 
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
                                 opts.pass_lanes,
-                                shard and shard_lane_range(n, shard))
+                                shard and shard_lane_range(n, shard),
+                                remat=opts.remat_passes)
 
     def eval_secondary_edge_camera(self, scene: Scene, flat: FlatScene,
                                    sensor_id: int, sample3: jax.Array,
@@ -423,7 +424,8 @@ class PathTracer(Integrator):
         from .base import shard_lane_range
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
                                 opts.pass_lanes,
-                                shard and shard_lane_range(n, shard))
+                                shard and shard_lane_range(n, shard),
+                                remat=opts.remat_passes)
 
     def eval_secondary_edge_indirect(self, scene: Scene, flat: FlatScene,
                                      sensor_id: int, sample3: jax.Array,
