@@ -191,11 +191,19 @@ def sample_primary_edge(state: SensorState, sample1: jax.Array) -> PrimaryEdgeSa
     edges = state.edges
     width, height = state.resolution
     idx, pdf, s = discrete_sample_reuse(edges.distrb, sample1)
-    pdf = pdf / jnp.maximum(edges.edge_length[idx], 1e-20)
-    ok = edges.valid[idx] & (edges.distrb.pmf[idx] > 0.0)
+    # one packed row gather instead of 6 separate edge-table gathers
+    # (scripts/bench_gather.py gather cost model)
+    packed = jnp.concatenate(
+        [edges.p0, edges.p1, edges.edge_normal,
+         edges.edge_length[:, None],
+         edges.valid.astype(jnp.float32)[:, None],
+         edges.distrb.pmf[:, None]], axis=1)[idx]
+    pdf = pdf / jnp.maximum(packed[..., 8], 1e-20)
+    ok = (packed[..., 9] > 0.5) & (packed[..., 10] > 0.0)
 
-    en = edges.edge_normal[idx]
-    p3 = edges.p0[idx] * (1.0 - s)[..., None] + edges.p1[idx] * s[..., None]
+    en = packed[..., 6:8]
+    p3 = (packed[..., 0:3] * (1.0 - s)[..., None]
+          + packed[..., 3:6] * s[..., None])
     p_ = p3[..., :2]
     p = sg(p_)
     x_dot_n = dot(p_, en)
