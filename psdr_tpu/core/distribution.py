@@ -28,7 +28,11 @@ class Discrete(NamedTuple):
 
 def discrete_init(pmf: jax.Array) -> Discrete:
     pmf = jax.lax.stop_gradient(pmf)
-    cmf = jnp.cumsum(pmf)
+    # XLA's parallel-scan cumsum is not guaranteed monotone at f32 rounding
+    # level even for non-negative pmf (observed ~1e-7-relative dips at 300k
+    # entries); binary search / block counts over a non-monotone cmf are
+    # ill-defined at the dips, so clamp with a running max.
+    cmf = jax.lax.cummax(jnp.cumsum(pmf))
     return Discrete(pmf=pmf, cmf=cmf, total=cmf[-1])
 
 
@@ -57,38 +61,56 @@ def discrete_sample_reuse(d: Discrete, samples: jax.Array) -> Tuple[jax.Array, j
         for i in range(1, d.size):
             prev = jnp.where(idx == i, d.cmf[i - 1], prev)
             pmf_i = jnp.where(idx == i, d.pmf[i], pmf_i)
-    elif d.size <= (1 << 18):
-        # two-level broadcast search: count superblock-end cmf entries
-        # below s (VPU broadcast, no gathers), then ONE packed row gather
-        # of the 128-entry sub-cmf block and an in-row count. searchsorted
-        # lowers to log2(n) dependent wavefront gathers (~4ms each on v5e);
-        # this is one row gather + one pmf gather + broadcast compares.
-        # All selected values are actual table entries — identical results.
+    elif d.size <= (1 << 25):
+        # blocked broadcast search (2 or 3 levels of 128): count block-end
+        # cmf entries below s at the top level (VPU broadcast, no gathers),
+        # then one packed row gather + in-row count per lower level.
+        # searchsorted lowers to log2(n) dependent wavefront gathers (~4ms
+        # each on v5e); this is 1-2 row gathers + one pmf gather + compare
+        # rows. All selected values are actual table entries; prev entries
+        # are selected by INDEX (see small-branch comment on cumsum
+        # monotonicity).
         C = 128
         n_blocks = -(-d.size // C)
         pad = n_blocks * C - d.size
         cmf_rows = jnp.pad(d.cmf, (0, pad),
                            constant_values=jnp.inf).reshape(n_blocks, C)
-        scmf = cmf_rows[:, -1]
         # end value of the last real block is cmf[-1] (pad is +inf): fix it
-        scmf = scmf.at[-1].set(d.cmf[-1])
-        blk_lt = scmf[None, :] < s[..., None]                # (N, B)
-        blk = jnp.sum(blk_lt, axis=-1, dtype=jnp.int32)
-        blk = jnp.clip(blk, 0, n_blocks - 1)
-        # index-based selects (see small-branch comment: cumsum is not
-        # guaranteed monotone, value-based max can disagree with
-        # searchsorted's cmf[idx-1])
-        biota = jnp.arange(n_blocks, dtype=jnp.int32)
-        prev_blk = jnp.sum(jnp.where(biota[None, :] == (blk - 1)[..., None],
-                                     scmf[None, :], 0.0), axis=-1)
-        row = cmf_rows[blk]                                  # (N, C)
-        in_lt = row < s[..., None]
-        r = jnp.sum(in_lt, axis=-1, dtype=jnp.int32)
-        r = jnp.clip(r, 0, C - 1)
-        idx = jnp.clip(blk * C + r, 0, d.size - 1)
+        scmf = cmf_rows[:, -1].at[-1].set(d.cmf[-1])
         ciota = jnp.arange(C, dtype=jnp.int32)
-        prev_in = jnp.sum(jnp.where(ciota[None, :] == (r - 1)[..., None],
-                                    row, 0.0), axis=-1)
+
+        def count_and_prev(row_or_table, lt_row):
+            """(#entries < s per lane, value at index count-1) for a (N, C)
+            compare row; the prev select is by index."""
+            r = jnp.sum(lt_row, axis=-1, dtype=jnp.int32)
+            r = jnp.clip(r, 0, lt_row.shape[-1] - 1)
+            iota = jnp.arange(lt_row.shape[-1], dtype=jnp.int32)
+            prev_v = jnp.sum(jnp.where(iota[None, :] == (r - 1)[..., None],
+                                       row_or_table, 0.0), axis=-1)
+            return r, prev_v
+
+        if n_blocks <= 2048:
+            blk_row = jnp.broadcast_to(scmf[None, :],
+                                       s.shape + (n_blocks,))
+            blk, prev_blk = count_and_prev(blk_row, scmf[None, :] < s[..., None])
+            blk = jnp.clip(blk, 0, n_blocks - 1)
+        else:
+            # 3 levels: top blocks of 128 block-ends
+            B2 = -(-n_blocks // C)
+            pad2 = B2 * C - n_blocks
+            scmf_rows = jnp.pad(scmf, (0, pad2),
+                                constant_values=jnp.inf).reshape(B2, C)
+            scmf2 = scmf_rows[:, -1].at[-1].set(d.cmf[-1])
+            top_row = jnp.broadcast_to(scmf2[None, :], s.shape + (B2,))
+            b2, prev_b2 = count_and_prev(top_row, scmf2[None, :] < s[..., None])
+            b2 = jnp.clip(b2, 0, B2 - 1)
+            mid = scmf_rows[b2]                              # (N, C)
+            b1, prev_b1 = count_and_prev(mid, mid < s[..., None])
+            blk = jnp.clip(b2 * C + b1, 0, n_blocks - 1)
+            prev_blk = jnp.where(b1 > 0, prev_b1, prev_b2)
+        row = cmf_rows[blk]                                  # (N, C)
+        r, prev_in = count_and_prev(row, row < s[..., None])
+        idx = jnp.clip(blk * C + r, 0, d.size - 1)
         prev = jnp.where(r > 0, prev_in, prev_blk)
         pmf_i = d.pmf[idx]
     else:
@@ -167,7 +189,16 @@ def hypercube_sample_reuse(hc: HyperCube, samples: jax.Array) -> Tuple[jax.Array
     """
     idx, pdf, last = discrete_sample_reuse(hc.distrb, samples[..., -1])
     samples = jnp.concatenate([samples[..., :-1], last[..., None]], axis=-1)
-    warped = (samples + hc.cells[idx].astype(samples.dtype)) * hc.unit
+    # arithmetic flat-index -> grid-coordinate decode (row-major, last dim
+    # fastest — hypercube_cells layout) instead of a wavefront gather into
+    # the (num_cells, ndim) table
+    coords = []
+    rem = idx
+    for i in range(hc.ndim - 1, -1, -1):
+        coords.append(rem % hc.resolution[i])
+        rem = rem // hc.resolution[i]
+    cell = jnp.stack(coords[::-1], axis=-1)
+    warped = (samples + cell.astype(samples.dtype)) * hc.unit
     return warped, pdf * hc.num_cells
 
 

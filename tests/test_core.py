@@ -140,11 +140,11 @@ def test_discrete_small_table_matches_searchsorted():
     u = jnp.concatenate([u, jnp.array([0.0, 0.999999])])
     i1, p1, r1 = discrete_sample_reuse(d, u)
 
-    # force the searchsorted branch by faking the size check (> 2^18 so
-    # neither small-table nor two-level path is taken)
+    # force the searchsorted branch by faking the size check (> 2^25 so
+    # neither small-table nor blocked path is taken)
     import unittest.mock as mock
     with mock.patch.object(type(d), "size",
-                           property(lambda self: 1 << 20)):
+                           property(lambda self: 1 << 26)):
         i2, p2, r2 = discrete_sample_reuse(d, u)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
@@ -194,7 +194,7 @@ def test_discrete_twolevel_matches_searchsorted():
     """The two-level broadcast branch (32 < size <= 2^18) must equal the
     searchsorted branch exactly."""
     import unittest.mock as mock
-    for n in (33, 300, 8192, 130001):
+    for n in (33, 300, 8192, 130001, 300011):
         key = jax.random.PRNGKey(n)
         pmf = jax.random.uniform(key, (n,))
         # sprinkle zero-mass plateaus
@@ -205,7 +205,7 @@ def test_discrete_twolevel_matches_searchsorted():
         u = jnp.concatenate([u, jnp.array([0.0, 0.9999999])])
         i1, p1, r1 = discrete_sample_reuse(d, u)
         with mock.patch.object(type(d), "size",
-                               property(lambda self: 1 << 20)):
+                               property(lambda self: 1 << 26)):
             i2, p2, r2 = discrete_sample_reuse(d, u)
         assert np.array_equal(np.asarray(i1), np.asarray(i2)), n
         assert np.array_equal(np.asarray(p1), np.asarray(p2)), n
