@@ -82,3 +82,55 @@ def test_pass_chunking_matches_unchunked():
                    axis=0)
     assert np.all(np.isfinite(img2))
     assert abs(img1.mean() - img2.mean()) < 0.05 * img1.mean()
+
+
+def test_emitter_first_matches_full_closest_hit():
+    """ray_intersect_emitter_first must equal the full-scene closest hit
+    wherever the consumer looks (emitter lanes), on both its internal
+    paths: tiny emitter set (unrolled brute + select-chain recompute) and
+    a tessellated >16-face emitter (tiled brute + face-table gather)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from psdr_tpu.core.records import Ray
+    from psdr_tpu.scene.scene import ray_intersect, ray_intersect_emitter_first
+    from psdr_tpu.shape import primitives
+    from psdr_tpu.emitter.area import AreaLight
+    from scenes import cbox_scene
+
+    for tessellate in (False, True):
+        sc = cbox_scene(width=16, height=16, spp=1, occluder_subdiv=1)
+        if tessellate:
+            # second emitter with an icosphere mesh (80 faces > both the
+            # select-chain and small-F brute thresholds)
+            ball = primitives.make_icosphere(subdiv=1, radius=0.3, bsdf_id=0)
+            ball.set_transform(np.asarray(
+                [[1, 0, 0, 0.5], [0, 1, 0, 0.5], [0, 0, 1, 0.0],
+                 [0, 0, 0, 1]], np.float32))
+            bidx = sc.add_mesh(ball)
+            sc.add_emitter(AreaLight([5.0, 5.0, 5.0], mesh_index=bidx))
+        sc.prepare_accel()
+        flat = sc.build(sc.params())
+        assert flat.em_tri_idx is not None
+
+        key = jax.random.PRNGKey(0)
+        n = 4096
+        o = jnp.array([0.0, 0.0, 0.9]) + 0.05 * jax.random.normal(
+            key, (n, 3))
+        d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        act = jnp.ones((n,), bool)
+
+        its_ef = ray_intersect_emitter_first(flat, Ray(o, d), act)
+        its_full = ray_intersect(flat, Ray(o, d), act, path_space=True)
+        em_full = its_full.valid & its_full.is_emitter()
+        # identical emitter-lane sets and identical hits there
+        assert np.array_equal(np.asarray(its_ef.valid), np.asarray(em_full))
+        m = np.asarray(em_full)
+        assert m.any(), "test scene must produce emitter hits"
+        assert np.array_equal(np.asarray(its_ef.tri_id)[m],
+                              np.asarray(its_full.tri_id)[m])
+        np.testing.assert_allclose(np.asarray(its_ef.t)[m],
+                                   np.asarray(its_full.t)[m], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(its_ef.p)[m],
+                                   np.asarray(its_full.p)[m], atol=1e-5)
