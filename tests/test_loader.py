@@ -139,3 +139,34 @@ def test_reference_scene_if_available():
     assert total_faces > 10000  # the tree
     sc.configure()
     assert sc.flat.tri.p0.shape[0] == total_faces
+
+
+@pytest.mark.slow
+def test_all_reference_scenes_load_and_render():
+    """Load every scene XML the reference ships and render the ones whose
+    OBJ/EXR assets are complete upstream. The four bunny scenes reference
+    ./data/objects/bunny/bunny.obj which the reference repo does NOT
+    commit (only bunny_low.obj, ~15x larger, exists) — those must still
+    parse and render finite with the substitute asset; the two complete
+    scenes (bunny_env_2, tree) must render non-black."""
+    import dataclasses
+    import numpy as np
+    from psdr_tpu.integrator import DirectIntegrator
+
+    base = "/root/reference/examples/data/scenes"
+    if not os.path.isdir(base):
+        pytest.skip("reference assets not mounted")
+    complete = {"bunny_env_2.xml", "tree.xml"}
+    for name in ("bunny.xml", "bunny_env.xml", "bunny_env_2.xml",
+                 "cbox_bunny.xml", "cbox_bunny_mutiemitter.xml", "tree.xml"):
+        xml = open(os.path.join(base, name)).read()
+        xml = xml.replace("./data", base + "/..")
+        xml = xml.replace("bunny/bunny.obj", "bunny/bunny_low.obj")
+        sc = load_string(xml, base_dir=base)
+        sc.opts = dataclasses.replace(sc.opts, width=48, height=27, spp=2)
+        img = np.asarray(DirectIntegrator(1, 1).renderC(sc))
+        assert np.isfinite(img).all(), name
+        if name in complete:
+            assert img.mean() > 0.01, f"{name} rendered black"
+        if "mutiemitter" in name:
+            assert len(sc.emitters) >= 2  # exercises emitter selection
