@@ -208,16 +208,42 @@ def _pxr24_unplane(raw: bytes, pos: int, width: int, typ):
     return v.astype(np.float32), pos
 
 
+def _tile_counts(width: int, height: int, tiledesc: bytes):
+    """Chunk count across all levels + level-0 tile grid, from a tiledesc
+    attribute (xSize u32, ySize u32, mode u8: levelMode + roundingMode*16).
+    RIPMAP files are rejected (16 combinatorial levels; not seen in
+    practice for textures/envmaps)."""
+    tx, ty, mode = struct.unpack("<IIB", tiledesc[:9])
+    level_mode = mode & 0xF
+    round_up = (mode >> 4) & 0xF == 1
+    if level_mode == 2:
+        raise ValueError("RIPMAP tiled EXR not supported")
+    nx0, ny0 = -(-width // tx), -(-height // ty)
+    if level_mode == 0:
+        return nx0 * ny0, tx, ty, nx0, ny0, 1
+    n_levels = max(width, height).bit_length()
+    if round_up and (1 << (n_levels - 1)) < max(width, height):
+        pass  # bit_length already rounds the level count up
+    total = 0
+    for lv in range(n_levels):
+        w = max(1, -(-width // (1 << lv)) if round_up else width >> lv)
+        h = max(1, -(-height // (1 << lv)) if round_up else height >> lv)
+        w, h = max(w, 1), max(h, 1)
+        total += (-(-w // tx)) * (-(-h // ty))
+    return total, tx, ty, nx0, ny0, n_levels
+
+
 def read_exr(path: str) -> np.ndarray:
-    """Load a scanline EXR as float32 (H, W, C); channel order RGB(A) or Y."""
+    """Load a scanline or tiled (ONE_LEVEL / MIPMAP level 0) EXR as float32
+    (H, W, C); channel order RGB(A) or Y."""
     with open(path, "rb") as f:
         data = memoryview(f.read())
     magic, version = struct.unpack_from("<II", data, 0)
     if magic != _MAGIC:
         raise ValueError(f"{path}: not an OpenEXR file")
-    if version & 0x200:
-        raise ValueError(f"{path}: tiled EXR not supported")
     attrs, pos = _read_attrs(data, 8)
+    if version & 0x200 or "tiles" in attrs:
+        return _read_tiled(path, data, attrs, pos)
 
     comp = attrs["compression"][1][0]
     if comp not in _LINES_PER_BLOCK:
@@ -301,13 +327,158 @@ def read_exr(path: str) -> np.ndarray:
     return np.stack([planes[c] for c in sorted(names)], axis=-1)
 
 
+def _decode_chunk(raw: bytes, chans, nx: int, ny: int, comp: int):
+    """Decode one compressed chunk (scanline block or tile) into a dict of
+    (ny, nx) float32 channel planes. Shared by the scanline and tiled
+    readers; nx is the block's pixel width (tile width for tiles)."""
+    out = {}
+    bytes_per_line = sum(np.dtype(t).itemsize for _, t in chans) * nx
+    expect = bytes_per_line * ny
+    if len(raw) >= expect:  # stored raw: scanline interleave
+        off = 0
+        planes = {n: np.empty((ny, nx), np.float32) for n, _ in chans}
+        for line in range(ny):
+            for name, typ in chans:
+                nb = np.dtype(typ).itemsize * nx
+                planes[name][line] = np.frombuffer(
+                    raw[off:off + nb], typ).astype(np.float32)
+                off += nb
+        return planes
+    if comp == 4:  # PIZ
+        shapes = [(ny, nx, np.dtype(t).itemsize // 2) for _, t in chans]
+        decoded = piz.decompress_block(raw, shapes)
+        for (name, typ), plane in zip(chans, decoded):
+            out[name] = np.frombuffer(plane.tobytes(), typ).reshape(
+                ny, nx).astype(np.float32)
+        return out
+    if comp in (6, 7):  # B44(A)
+        off = 0
+        for name, typ in chans:
+            if typ is np.float16:
+                p16, off = b44.decode_channel(raw, off, nx, ny, comp == 7)
+                out[name] = p16.view(np.float16).astype(np.float32)
+            else:
+                nb = np.dtype(typ).itemsize * nx * ny
+                out[name] = np.frombuffer(raw[off:off + nb], typ).reshape(
+                    ny, nx).astype(np.float32)
+                off += nb
+        return out
+    if comp == 5:  # PXR24
+        raw = zlib.decompress(raw)
+        off = 0
+        for name, _ in chans:
+            out[name] = np.empty((ny, nx), np.float32)
+        for line in range(ny):
+            for name, typ in chans:
+                vals, off = _pxr24_unplane(raw, off, nx, typ)
+                out[name][line] = vals
+        return out
+    if comp == 1:
+        raw = _rle_decode(raw, expect)
+    elif comp in (2, 3):
+        raw = _unpredict(zlib.decompress(raw))
+    off = 0
+    for name, _ in chans:
+        out[name] = np.empty((ny, nx), np.float32)
+    for line in range(ny):
+        for name, typ in chans:
+            nb = np.dtype(typ).itemsize * nx
+            out[name][line] = np.frombuffer(
+                raw[off:off + nb], typ).astype(np.float32)
+            off += nb
+    return out
+
+
+def _assemble(planes, chans):
+    names = [n for n, _ in chans]
+    for order in ("RGBA", "RGB", "Y"):
+        if sorted(order) == sorted(names):
+            return np.stack([planes[c] for c in order], axis=-1)
+    return np.stack([planes[c] for c in sorted(names)], axis=-1)
+
+
+def _read_tiled(path: str, data: memoryview, attrs: dict, pos: int):
+    """Tiled EXR reader: ONE_LEVEL fully; MIPMAP reads level (0,0) and
+    skips the rest (tinyexr parity: the reference loads tiled images too).
+    Chunk = tileX i32, tileY i32, levelX i32, levelY i32, size u32, data."""
+    comp = attrs["compression"][1][0]
+    if comp not in _LINES_PER_BLOCK:
+        raise ValueError(f"{path}: unsupported tiled compression {comp}")
+    x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
+    width, height = x1 - x0 + 1, y1 - y0 + 1
+    chans = _parse_channels(attrs["channels"][1])
+    n_chunks, tx, ty, _, _, _ = _tile_counts(width, height,
+                                             attrs["tiles"][1])
+    pos += 8 * n_chunks  # offset table; chunks follow sequentially
+    planes = {name: np.zeros((height, width), np.float32)
+              for name, _ in chans}
+    for _ in range(n_chunks):
+        tix, tiy, lx, ly = struct.unpack_from("<4i", data, pos)
+        size = struct.unpack_from("<I", data, pos + 16)[0]
+        raw = bytes(data[pos + 20:pos + 20 + size])
+        pos += 20 + size
+        if lx != 0 or ly != 0:
+            continue  # mip levels beyond (0,0)
+        px, py = tix * tx, tiy * ty
+        nx = min(tx, width - px)
+        ny = min(ty, height - py)
+        decoded = _decode_chunk(raw, chans, nx, ny, comp)
+        for name, _ in chans:
+            planes[name][py:py + ny, px:px + nx] = decoded[name]
+    return _assemble(planes, chans)
+
+
 _WRITE_COMP = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
                "pxr24": 5, "b44": 6, "b44a": 7}
 
 
+def _encode_region(region: np.ndarray, names, src, dtype, comp_id: int,
+                   half: bool) -> bytes:
+    """Compress one pixel region (ny, nx, C) as a chunk payload."""
+    ny, nx = region.shape[:2]
+    raw = b"".join(
+        region[line, :, src[n]].astype(dtype).tobytes()
+        for line in range(ny) for n in names)
+    if comp_id == 4:
+        words = np.dtype(dtype).itemsize // 2
+        chans16 = [
+            np.frombuffer(region[:, :, src[n]].astype(dtype).tobytes(),
+                          np.uint16).reshape(ny, nx * words)
+            for n in names]
+        packed = piz.compress_block(chans16, [words] * len(names))
+    elif comp_id in (6, 7):
+        parts = []
+        for n in names:
+            ch = region[:, :, src[n]].astype(dtype)
+            if half:
+                parts.append(b44.encode_channel(
+                    ch.view(np.uint16), comp_id == 7))
+            else:  # non-HALF channels are stored planar, uncompressed
+                parts.append(ch.tobytes())
+        packed = b"".join(parts)
+    elif comp_id == 5:
+        parts = []
+        for line in range(ny):
+            for n in names:
+                vals = region[line, :, src[n]].astype(dtype)
+                parts.extend(p.tobytes() for p in _pxr24_planes(vals, dtype))
+        packed = zlib.compress(b"".join(parts))
+    elif comp_id == 1:
+        packed = _rle_encode(raw)
+    elif comp_id in (2, 3):
+        packed = zlib.compress(_predict(raw))
+    else:
+        packed = raw
+    if comp_id != 0 and len(packed) >= len(raw):
+        packed = raw
+    return packed
+
+
 def write_exr(path: str, img: np.ndarray, compression: str = "zip",
-              half: bool = False) -> None:
-    """Write (H, W, C) float array; C in {1 (Y), 3 (RGB), 4 (RGBA)}."""
+              half: bool = False, tile: int | None = None) -> None:
+    """Write (H, W, C) float array; C in {1 (Y), 3 (RGB), 4 (RGBA)}.
+    ``tile``: write a ONE_LEVEL tiled file with square tiles of that size
+    instead of scanline blocks."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -328,7 +499,7 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
         n.encode() + b"\0" + struct.pack("<IIII", ptype, 0, 1, 1)
         for n in names) + b"\0"
     dw = struct.pack("<4i", 0, 0, width - 1, height - 1)
-    header = struct.pack("<II", _MAGIC, 2)
+    header = struct.pack("<II", _MAGIC, 2 | (0x200 if tile else 0))
     header += attr("channels", "chlist", chan_raw)
     header += attr("compression", "compression", bytes([comp_id]))
     header += attr("dataWindow", "box2i", dw)
@@ -337,59 +508,34 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
     header += attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0))
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    if tile:
+        header += attr("tiles", "tiledesc",
+                       struct.pack("<IIB", tile, tile, 0))  # ONE_LEVEL
     header += b"\0"
 
-    n_blocks = -(-height // lines_pb)
     blocks = []
-    for b in range(n_blocks):
-        y = b * lines_pb
-        ny = min(lines_pb, height - y)
-        raw = b"".join(
-            img[y + line, :, src[n]].astype(dtype).tobytes()
-            for line in range(ny) for n in names)
-        if comp_id == 4:
-            words = np.dtype(dtype).itemsize // 2
-            chans16 = [
-                np.frombuffer(
-                    img[y:y + ny, :, src[n]].astype(dtype).tobytes(),
-                    np.uint16).reshape(ny, width * words)
-                for n in names]
-            packed = piz.compress_block(chans16, [words] * len(names))
-        elif comp_id in (6, 7):
-            parts = []
-            for n in names:
-                ch = img[y:y + ny, :, src[n]].astype(dtype)
-                if half:
-                    parts.append(b44.encode_channel(
-                        ch.view(np.uint16), comp_id == 7))
-                else:  # non-HALF channels are stored planar, uncompressed
-                    parts.append(ch.tobytes())
-            packed = b"".join(parts)
-        elif comp_id == 5:
-            parts = []
-            for line in range(ny):
-                for n in names:
-                    vals = img[y + line, :, src[n]].astype(dtype)
-                    parts.extend(p.tobytes()
-                                 for p in _pxr24_planes(vals, dtype))
-            packed = zlib.compress(b"".join(parts))
-        elif comp_id == 1:
-            packed = _rle_encode(raw)
-        elif comp_id in (2, 3):
-            packed = zlib.compress(_predict(raw))
-        else:
-            packed = raw
-        if comp_id != 0 and len(packed) >= len(raw):
-            packed = raw
-        blocks.append((y, packed))
+    if tile:
+        for tiy in range(-(-height // tile)):
+            for tix in range(-(-width // tile)):
+                py, px = tiy * tile, tix * tile
+                region = img[py:py + tile, px:px + tile]
+                packed = _encode_region(region, names, src, dtype, comp_id,
+                                        half)
+                blocks.append((struct.pack("<4i", tix, tiy, 0, 0), packed))
+    else:
+        for b in range(-(-height // lines_pb)):
+            y = b * lines_pb
+            region = img[y:y + lines_pb]
+            packed = _encode_region(region, names, src, dtype, comp_id, half)
+            blocks.append((struct.pack("<i", y), packed))
 
     out = bytearray(header)
     table_pos = len(out)
-    out += b"\0" * (8 * n_blocks)
+    out += b"\0" * (8 * len(blocks))
     offsets = []
-    for y, packed in blocks:
+    for head, packed in blocks:
         offsets.append(len(out))
-        out += struct.pack("<iI", y, len(packed)) + packed
+        out += head + struct.pack("<I", len(packed)) + packed
     for i, off in enumerate(offsets):
         struct.pack_into("<Q", out, table_pos + 8 * i, off)
     with open(path, "wb") as f:

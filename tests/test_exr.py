@@ -188,3 +188,42 @@ def test_b44_mixed_flat_and_detail_tiles(tmp_path):
     p = str(tmp_path / "x.exr")
     write_exr(p, img, compression="b44a", half=True)
     np.testing.assert_allclose(read_exr(p), ref, rtol=0.12, atol=1e-4)
+
+
+def test_tiled_roundtrip_all_compressions(tmp_path):
+    """ONE_LEVEL tiled write/read round-trips across every codec,
+    including edge tiles (image size not a tile multiple)."""
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((45, 70, 3)).astype(np.float32) ** 2
+    for comp in ("none", "rle", "zips", "zip", "piz", "pxr24"):
+        p = str(tmp_path / f"tiled_{comp}.exr")
+        write_exr(p, img, compression=comp, tile=16)
+        back = read_exr(p)
+        if comp == "pxr24":  # lossy 24-bit float rounding
+            assert np.allclose(back, img, rtol=1e-4, atol=1e-5), comp
+        else:
+            assert np.array_equal(back, img), comp
+    # half-precision codecs; B44 is block-lossy on rough data, so compare
+    # the tiled file against the scanline file (same codec) instead of the
+    # original — 32-aligned tiles quantize the same 4x4 blocks
+    imgh = img[:32].astype(np.float16).astype(np.float32)
+    for comp in ("piz", "b44"):
+        pt = str(tmp_path / f"tiled_h_{comp}.exr")
+        ps = str(tmp_path / f"scan_h_{comp}.exr")
+        write_exr(pt, imgh, compression=comp, half=True, tile=32)
+        write_exr(ps, imgh, compression=comp, half=True)
+        if comp == "piz":
+            assert np.array_equal(read_exr(pt), imgh), comp
+        assert np.array_equal(read_exr(pt)[:, :32], read_exr(ps)[:, :32]), comp
+
+
+def test_tiled_matches_scanline_pixels(tmp_path):
+    """The same image written tiled and scanline must decode identically
+    (validates the tile plumbing against the byte-exact scanline codecs)."""
+    rng = np.random.default_rng(6)
+    img = rng.standard_normal((33, 57, 3)).astype(np.float32)
+    ps = str(tmp_path / "scan.exr")
+    pt = str(tmp_path / "tile.exr")
+    write_exr(ps, img, compression="zip")
+    write_exr(pt, img, compression="zip", tile=13)
+    assert np.array_equal(read_exr(ps), read_exr(pt))
