@@ -221,9 +221,11 @@ def _tile_counts(width: int, height: int, tiledesc: bytes):
     nx0, ny0 = -(-width // tx), -(-height // ty)
     if level_mode == 0:
         return nx0 * ny0, tx, ty, nx0, ny0, 1
-    n_levels = max(width, height).bit_length()
-    if round_up and (1 << (n_levels - 1)) < max(width, height):
-        pass  # bit_length already rounds the level count up
+    m = max(width, height)
+    # ROUND_DOWN: floor(log2(m))+1 levels; ROUND_UP: ceil(log2(m))+1
+    n_levels = m.bit_length()
+    if round_up and (m & (m - 1)) != 0:
+        n_levels += 1
     total = 0
     for lv in range(n_levels):
         w = max(1, -(-width // (1 << lv)) if round_up else width >> lv)
