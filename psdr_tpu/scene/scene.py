@@ -493,7 +493,8 @@ _BOUND_FACES = [
 
 # -- device-side scene queries (pure functions over FlatScene) ---------------
 
-def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15):
+def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15,
+                 want_inv: bool = True):
     """Stable within-segment reorder by quantized direction: groups lanes
     into 64 direction bins (4x4x4 per-component quantization) inside
     32k-lane segments, trading some origin (pixel-tile) coherence for much
@@ -516,25 +517,32 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15):
     local = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
     base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
     perm = (local + base).reshape(n)
+    if not want_inv:
+        return perm, None
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
     return perm, inv
 
 
 def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
-                 tmax=None, sort_rays: bool = False, any_hit: bool = False):
+                 tmax=None, sort_rays: bool = False, any_hit: bool = False,
+                 test_only: bool = False):
     """Backend dispatch for the detached closest-hit query.
 
     ``any_hit=True`` (occlusion queries) lets the Pallas backend return any
     hit inside [0, tmax) and terminate its triangle stream early once every
     lane is decided; other backends ignore it (their closest hit is also a
     valid any-hit answer).
+
+    ``test_only=True`` returns just the (N,) hit boolean — the sorted path
+    then un-permutes one bool (a single scatter) instead of building the
+    inverse permutation and gathering the whole record back.
     """
     perm = inv = None
     q_o, q_d, q_act = ray.o, ray.d, active
     q_tmax = tmax
     if sort_rays and flat.accel is not None:
-        perm, inv = _octant_sort(ray, active)
+        perm, inv = _octant_sort(ray, active, want_inv=not test_only)
         if perm is not None:
             # permute via ONE packed row gather (separate per-array gathers
             # are ~11x more expensive on TPU — scripts/bench_gather.py)
@@ -568,6 +576,10 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
     else:
         hit = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2,
                                   ray.o, ray.d, active, tmax=tmax)
+    if test_only:
+        if perm is None:
+            return hit.valid
+        return jnp.zeros(perm.shape, bool).at[perm].set(hit.valid)
     if perm is not None:
         # inverse permutation, also as one packed row gather; tri_id < 2^24
         # so it round-trips f32 exactly
@@ -589,9 +601,9 @@ def ray_test(flat: FlatScene, ray: Ray, dist: jax.Array,
     closest-hit + distance-compare the reference uses."""
     from ..core.constants import ShadowEpsilon
     tmax = sg(dist) - ShadowEpsilon
-    hit = _closest_hit(flat, ray, active, tmax=tmax, any_hit=True,
-                       sort_rays=sort_rays)
-    return hit.valid & active
+    occ = _closest_hit(flat, ray, active, tmax=tmax, any_hit=True,
+                       sort_rays=sort_rays, test_only=True)
+    return occ & active
 
 
 def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
