@@ -70,18 +70,26 @@ def eval_bitmap(bm: Bitmap, uv: jax.Array, flip_v: bool = False) -> jax.Array:
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    # one packed quad-row gather instead of 4 separate texel gathers
-    # (wavefront gathers cost ~4ms/2M lanes each on TPU; the shifted-view
-    # concat is one O(HW) copy that XLA CSEs across eval sites). The roll
-    # wrap rows are never read: x0 <= w-2 and y0 <= h-2.
-    flat = bm.data.reshape(h * w, c)
-    quad = jnp.concatenate([flat,
-                            jnp.roll(flat, -1, axis=0),
-                            jnp.roll(flat, -w, axis=0),
-                            jnp.roll(flat, -(w + 1), axis=0)], axis=1)
-    rows = quad[y0 * w + x0]
-    v00, v10 = rows[..., 0:c], rows[..., c:2 * c]
-    v01, v11 = rows[..., 2 * c:3 * c], rows[..., 3 * c:4 * c]
+    if h * w <= (1 << 20):
+        # one packed quad-row gather instead of 4 separate texel gathers
+        # (wavefront gathers cost ~4ms/2M lanes each on TPU; the
+        # shifted-view concat is one O(HW) copy that XLA CSEs across eval
+        # sites). The roll wrap rows are never read: x0 <= w-2, y0 <= h-2.
+        flat = bm.data.reshape(h * w, c)
+        quad = jnp.concatenate([flat,
+                                jnp.roll(flat, -1, axis=0),
+                                jnp.roll(flat, -w, axis=0),
+                                jnp.roll(flat, -(w + 1), axis=0)], axis=1)
+        rows = quad[y0 * w + x0]
+        v00, v10 = rows[..., 0:c], rows[..., c:2 * c]
+        v01, v11 = rows[..., 2 * c:3 * c], rows[..., 3 * c:4 * c]
+    else:
+        # huge bitmaps (4k envmaps): the 4x quad copy (+ its same-shaped
+        # backward cotangent) risks HBM blowup, so keep separate gathers
+        v00 = bm.data[y0, x0]
+        v10 = bm.data[y0, x0 + 1]
+        v01 = bm.data[y0 + 1, x0]
+        v11 = bm.data[y0 + 1, x0 + 1]
 
     v0 = wx0[..., None] * v00 + wx1[..., None] * v10
     v1 = wx0[..., None] * v01 + wx1[..., None] * v11

@@ -77,7 +77,6 @@ def discrete_sample_reuse(d: Discrete, samples: jax.Array) -> Tuple[jax.Array, j
                            constant_values=jnp.inf).reshape(n_blocks, C)
         # end value of the last real block is cmf[-1] (pad is +inf): fix it
         scmf = cmf_rows[:, -1].at[-1].set(d.cmf[-1])
-        ciota = jnp.arange(C, dtype=jnp.int32)
 
         def count_and_prev(row_or_table, lt_row):
             """(#entries < s per lane, value at index count-1) for a (N, C)

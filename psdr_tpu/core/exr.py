@@ -218,9 +218,8 @@ def _tile_counts(width: int, height: int, tiledesc: bytes):
     round_up = (mode >> 4) & 0xF == 1
     if level_mode == 2:
         raise ValueError("RIPMAP tiled EXR not supported")
-    nx0, ny0 = -(-width // tx), -(-height // ty)
     if level_mode == 0:
-        return nx0 * ny0, tx, ty, nx0, ny0, 1
+        return (-(-width // tx)) * (-(-height // ty)), tx, ty
     m = max(width, height)
     # ROUND_DOWN: floor(log2(m))+1 levels; ROUND_UP: ceil(log2(m))+1
     n_levels = m.bit_length()
@@ -230,9 +229,8 @@ def _tile_counts(width: int, height: int, tiledesc: bytes):
     for lv in range(n_levels):
         w = max(1, -(-width // (1 << lv)) if round_up else width >> lv)
         h = max(1, -(-height // (1 << lv)) if round_up else height >> lv)
-        w, h = max(w, 1), max(h, 1)
         total += (-(-w // tx)) * (-(-h // ty))
-    return total, tx, ty, nx0, ny0, n_levels
+    return total, tx, ty
 
 
 def read_exr(path: str) -> np.ndarray:
@@ -261,7 +259,6 @@ def read_exr(path: str) -> np.ndarray:
     n_blocks = -(-height // lines_pb)
     pos += 8 * n_blocks  # skip offset table; blocks are sequential
 
-    bytes_per_line = sum(np.dtype(t).itemsize for _, t in chans) * width
     planes = {name: np.empty((height, width), np.float32) for name, _ in chans}
     for _ in range(n_blocks):
         y, size = struct.unpack_from("<iI", data, pos)
@@ -269,64 +266,10 @@ def read_exr(path: str) -> np.ndarray:
         raw = bytes(data[pos:pos + size])
         pos += size
         ny = min(lines_pb, y1 - y + 1)
-        expect = bytes_per_line * ny
-        if size >= expect:
-            # stored raw (incompressible block): scanline interleave
-            off = 0
-            for line in range(ny):
-                for name, typ in chans:
-                    nb = np.dtype(typ).itemsize * width
-                    vals = np.frombuffer(raw[off:off + nb], typ)
-                    planes[name][y - y0 + line] = vals.astype(np.float32)
-                    off += nb
-            continue
-        if comp == 4:  # PIZ: planar u16 channels
-            shapes = [(ny, width, np.dtype(t).itemsize // 2) for _, t in chans]
-            decoded = piz.decompress_block(raw, shapes)
-            for (name, typ), plane in zip(chans, decoded):
-                vals = np.frombuffer(plane.tobytes(), typ).reshape(ny, width)
-                planes[name][y - y0:y - y0 + ny] = vals.astype(np.float32)
-            continue
-        if comp in (6, 7):  # B44(A): HALF as packed 4x4 tiles, rest planar
-            off = 0
-            for name, typ in chans:
-                if typ is np.float16:
-                    p16, off = b44.decode_channel(raw, off, width, ny,
-                                                  comp == 7)
-                    planes[name][y - y0:y - y0 + ny] = (
-                        p16.view(np.float16).astype(np.float32))
-                else:
-                    nb = np.dtype(typ).itemsize * width * ny
-                    vals = np.frombuffer(raw[off:off + nb], typ)
-                    planes[name][y - y0:y - y0 + ny] = (
-                        vals.reshape(ny, width).astype(np.float32))
-                    off += nb
-            continue
-        if comp == 5:  # PXR24: per-scanline channel byte planes, zlib'd
-            raw = zlib.decompress(raw)
-            off = 0
-            for line in range(ny):
-                for name, typ in chans:
-                    vals, off = _pxr24_unplane(raw, off, width, typ)
-                    planes[name][y - y0 + line] = vals
-            continue
-        if comp == 1:
-            raw = _rle_decode(raw, expect)
-        elif comp in (2, 3):
-            raw = _unpredict(zlib.decompress(raw))
-        # per scanline: channels in file order, plane-contiguous
-        off = 0
-        for line in range(ny):
-            for name, typ in chans:
-                nb = np.dtype(typ).itemsize * width
-                vals = np.frombuffer(raw[off:off + nb], typ)
-                planes[name][y - y0 + line] = vals.astype(np.float32)
-                off += nb
-    names = [n for n, _ in chans]
-    for order in ("RGBA", "RGB", "Y"):
-        if sorted(order) == sorted(names):
-            return np.stack([planes[c] for c in order], axis=-1)
-    return np.stack([planes[c] for c in sorted(names)], axis=-1)
+        decoded = _decode_chunk(raw, chans, width, ny, comp)
+        for name, _ in chans:
+            planes[name][y - y0:y - y0 + ny] = decoded[name]
+    return _assemble(planes, chans)
 
 
 def _decode_chunk(raw: bytes, chans, nx: int, ny: int, comp: int):
@@ -409,8 +352,7 @@ def _read_tiled(path: str, data: memoryview, attrs: dict, pos: int):
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = x1 - x0 + 1, y1 - y0 + 1
     chans = _parse_channels(attrs["channels"][1])
-    n_chunks, tx, ty, _, _, _ = _tile_counts(width, height,
-                                             attrs["tiles"][1])
+    n_chunks, tx, ty = _tile_counts(width, height, attrs["tiles"][1])
     pos += 8 * n_chunks  # offset table; chunks follow sequentially
     planes = {name: np.zeros((height, width), np.float32)
               for name, _ in chans}

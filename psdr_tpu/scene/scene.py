@@ -433,6 +433,11 @@ class Scene:
             if em_cat.shape[0] <= 8192:
                 em_tri_idx = jnp.asarray(em_cat)
 
+        if tri.p0.shape[0] >= (1 << 24):
+            # tri ids round-trip through f32 in the packed sorted-hit
+            # un-permute (_closest_hit); 2^24 is where f32 stops being
+            # integer-exact — fail loudly instead of corrupting ids
+            raise ValueError("scenes with >= 2^24 faces are not supported")
         uv0 = jnp.concatenate(uv0_l)
         uv1 = jnp.concatenate(uv1_l)
         uv2 = jnp.concatenate(uv2_l)

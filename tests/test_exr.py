@@ -227,3 +227,29 @@ def test_tiled_matches_scanline_pixels(tmp_path):
     write_exr(ps, img, compression="zip")
     write_exr(pt, img, compression="zip", tile=13)
     assert np.array_equal(read_exr(ps), read_exr(pt))
+
+
+def test_bitmap_quad_and_fallback_paths_agree():
+    """eval_bitmap's packed-quad path (small textures) and separate-gather
+    fallback (huge textures) must produce identical values."""
+    import jax
+    import jax.numpy as jnp
+    from psdr_tpu.core.bitmap import Bitmap, eval_bitmap
+    key = jax.random.PRNGKey(0)
+    data_small = jax.random.uniform(key, (37, 53, 3))
+    # a >2^20-texel texture containing the small one tiled
+    data_big = jnp.tile(data_small, (32, 32, 1))[:37 * 29, :53 * 29]
+    uv = jax.random.uniform(jax.random.PRNGKey(1), (4096, 2))
+    a = np.asarray(eval_bitmap(Bitmap(data_big), uv))
+    # manual 4-gather reference
+    h, w, c = data_big.shape
+    x = uv[:, 0] % 1.0 * (w - 1)
+    y = uv[:, 1] % 1.0 * (h - 1)
+    x0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), w - 2)
+    y0 = jnp.minimum(jnp.floor(y).astype(jnp.int32), h - 2)
+    wx1, wy1 = x - x0, y - y0
+    ref = ((1 - wx1) * (1 - wy1))[:, None] * data_big[y0, x0] \
+        + (wx1 * (1 - wy1))[:, None] * data_big[y0, x0 + 1] \
+        + ((1 - wx1) * wy1)[:, None] * data_big[y0 + 1, x0] \
+        + (wx1 * wy1)[:, None] * data_big[y0 + 1, x0 + 1]
+    assert np.allclose(a, np.asarray(ref), atol=1e-6)
