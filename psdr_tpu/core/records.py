@@ -122,6 +122,9 @@ class RenderOptions:
     # instead of spilling its residual intermediates to HBM (memory + HBM
     # bandwidth for compute, usually a win for wavefront renderers)
     remat_passes: bool = True
+    # stratify the subpixel jitter over an a x b grid when spp factorizes
+    # (beyond-reference; the reference samples subpixels independently)
+    stratify_primary: bool = True
 
     @property
     def num_pixels(self) -> int:

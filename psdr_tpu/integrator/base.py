@@ -111,6 +111,14 @@ class Integrator:
         pix_order_np = tiled_pixel_order(opts.width, opts.height)
         pix_order = jnp.asarray(pix_order_np)
 
+        # stratify the subpixel jitter over an a x b grid when spp
+        # factorizes (beyond-reference: psdr-cuda samples independently);
+        # lower primary-visibility variance at identical cost
+        a = int(np.sqrt(spp))
+        while a > 1 and spp % a:
+            a -= 1
+        strat = (a, spp // a) if (opts.stratify_primary and a > 1) else None
+
         def lane_values(lane, key_c):
             idx = pix_order[jnp.minimum(lane // spp, num_pixels - 1)]
             base = jnp.stack([(idx % opts.width).astype(jnp.float32),
@@ -118,7 +126,15 @@ class Integrator:
                              axis=-1)
             rng = RngStream(key_c, salt=0)
             m = lane.shape[0]
-            samples = (base + rng.next_2d(m)) / jnp.array(
+            jitter = rng.next_2d(m)
+            if strat is not None:
+                sa, sb = strat
+                s_idx = lane % spp
+                cell = jnp.stack([(s_idx % sa).astype(jnp.float32),
+                                  (s_idx // sa).astype(jnp.float32)],
+                                 axis=-1)
+                jitter = (cell + jitter) / jnp.array([sa, sb], jnp.float32)
+            samples = (base + jitter) / jnp.array(
                 [opts.width, opts.height], jnp.float32)
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)
             value = self.Li(scene, flat, rng, ray, lane < n)

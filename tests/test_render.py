@@ -134,3 +134,30 @@ def test_emitter_first_matches_full_closest_hit():
                                    np.asarray(its_full.t)[m], rtol=1e-5)
         np.testing.assert_allclose(np.asarray(its_ef.p)[m],
                                    np.asarray(its_full.p)[m], atol=1e-5)
+
+
+def test_stratified_primary_reduces_variance():
+    """Stratified subpixel jitter must lower pixel variance across seeds
+    vs independent jitter, and leave the mean unbiased."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from scenes import sphere_light_scene
+    from psdr_tpu import DirectIntegrator
+
+    integ = DirectIntegrator(1, 1)
+    imgs = {}
+    for strat in (True, False):
+        sc = sphere_light_scene(width=24, height=24, spp=16)
+        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        render = jax.jit(integ.render_fn(sc, with_boundary=False))
+        params = sc.params()
+        imgs[strat] = np.stack([
+            np.asarray(render(params, jax.random.PRNGKey(s)))
+            for s in range(8)])
+    m_s, m_i = imgs[True].mean(0), imgs[False].mean(0)
+    # same estimator mean (statistically)
+    assert np.abs(m_s - m_i).mean() < 0.01
+    v_s = imgs[True].var(0).mean()
+    v_i = imgs[False].var(0).mean()
+    assert v_s < v_i, f"stratification did not help: {v_s:.3e} vs {v_i:.3e}"
