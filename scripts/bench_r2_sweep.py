@@ -37,6 +37,7 @@ def main():
     run("emfirst", ["scripts/bench_emfirst_parts.py"])
     for stage in ("cam", "nee", "full"):
         run(f"stage-{stage}", ["scripts/bench_e2e_stages.py", stage])
+    run("remat-ab", ["scripts/bench_remat_ab.py"])
     run("bench", ["bench.py"])
 
 
