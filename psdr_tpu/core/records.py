@@ -123,7 +123,9 @@ class RenderOptions:
     # bandwidth for compute, usually a win for wavefront renderers)
     remat_passes: bool = True
     # stratify the subpixel jitter over an a x b grid when spp factorizes
-    # (beyond-reference; the reference samples subpixels independently)
+    # (beyond-reference; the reference samples subpixels independently);
+    # also stratifies the first NEE light sample per pixel with a
+    # per-pixel rotation of the stratum index
     stratify_primary: bool = True
 
     @property

@@ -134,6 +134,17 @@ class Integrator:
                                   (s_idx // sa).astype(jnp.float32)],
                                  axis=-1)
                 jitter = (cell + jitter) / jnp.array([sa, sb], jnp.float32)
+                # per-pixel rotated stratum index for downstream samples
+                # (NEE): each pixel rotates its strata by an independent
+                # hash so subpixel and light strata decorrelate across
+                # pixels ("padded" stratified sampling)
+                w = jax.random.randint(rng._subkey(), (), 0, jnp.iinfo(
+                    jnp.int32).max, jnp.int32).astype(jnp.uint32)
+                h = idx.astype(jnp.uint32) ^ w
+                h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                rot = ((h ^ (h >> 16)) % jnp.uint32(spp)).astype(jnp.int32)
+                rng.strata = ((s_idx + rot) % spp, spp)
             samples = (base + jitter) / jnp.array(
                 [opts.width, opts.height], jnp.float32)
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)

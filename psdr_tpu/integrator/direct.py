@@ -125,9 +125,24 @@ class DirectIntegrator(Integrator):
             contrib = scene_le(flat, its1, active1) * bsdf_val * weight[..., None]
             result = result + jnp.where(active1[..., None], contrib, 0.0)
 
-        for _ in range(self.light_samples):
+        for k in range(self.light_samples):
+            u2 = rng.next_2d(n)
+            strata = getattr(rng, "strata", None)
+            if k == 0 and strata is not None:
+                # stratify the first light sample over the pixel's spp
+                # strata (rotated per pixel upstream): soft-shadow noise
+                # drops at identical cost; marginally still uniform
+                s_idx, spp = strata
+                a = int(spp ** 0.5)
+                while a > 1 and spp % a:
+                    a -= 1
+                if a > 1:
+                    cell = jnp.stack([(s_idx % a).astype(jnp.float32),
+                                      (s_idx // a).astype(jnp.float32)],
+                                     axis=-1)
+                    u2 = (cell + u2) / jnp.array([a, spp // a], jnp.float32)
             ps = sample_emitter_position(flat, offsets, emeta, its.p,
-                                         rng.next_2d(n), active)
+                                         u2, active)
             active1 = active & ps.valid
 
             wo = ps.p - its.p

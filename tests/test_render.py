@@ -161,3 +161,29 @@ def test_stratified_primary_reduces_variance():
     v_s = imgs[True].var(0).mean()
     v_i = imgs[False].var(0).mean()
     assert v_s < v_i, f"stratification did not help: {v_s:.3e} vs {v_i:.3e}"
+
+
+def test_stratified_nee_reduces_soft_shadow_variance():
+    """The per-pixel-rotated NEE stratification must lower variance on a
+    soft-shadow scene (area light + occluder) and keep the mean."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from scenes import cbox_scene
+    from psdr_tpu import DirectIntegrator
+
+    integ = DirectIntegrator(0, 1)   # light sampling only: isolates NEE
+    imgs = {}
+    for strat in (True, False):
+        sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=1)
+        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        render = jax.jit(integ.render_fn(sc, with_boundary=False))
+        params = sc.params()
+        imgs[strat] = np.stack([
+            np.asarray(render(params, jax.random.PRNGKey(100 + s)))
+            for s in range(8)])
+    m_s, m_i = imgs[True].mean(0), imgs[False].mean(0)
+    assert np.abs(m_s - m_i).mean() < 0.015
+    v_s = imgs[True].var(0).mean()
+    v_i = imgs[False].var(0).mean()
+    assert v_s < v_i, f"NEE stratification did not help: {v_s:.3e} vs {v_i:.3e}"
