@@ -138,13 +138,19 @@ class Integrator:
                 # (NEE): each pixel rotates its strata by an independent
                 # hash so subpixel and light strata decorrelate across
                 # pixels ("padded" stratified sampling)
-                w = jax.random.randint(rng._subkey(), (), 0, jnp.iinfo(
+                w = jax.random.randint(rng._subkey(), (2,), 0, jnp.iinfo(
                     jnp.int32).max, jnp.int32).astype(jnp.uint32)
-                h = idx.astype(jnp.uint32) ^ w
-                h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
-                h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
-                rot = ((h ^ (h >> 16)) % jnp.uint32(spp)).astype(jnp.int32)
-                rng.strata = ((s_idx + rot) % spp, spp)
+
+                def pix_hash(word):
+                    h = idx.astype(jnp.uint32) ^ word
+                    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                    return ((h ^ (h >> 16))
+                            % jnp.uint32(spp)).astype(jnp.int32)
+
+                # independent per-pixel rotations for the NEE and BSDF
+                # consumers so their stratum alignments decorrelate
+                rng.strata = (s_idx, spp, pix_hash(w[0]), pix_hash(w[1]))
             samples = (base + jitter) / jnp.array(
                 [opts.width, opts.height], jnp.float32)
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)

@@ -44,6 +44,28 @@ from .base import Integrator, accumulate_image
 sg = jax.lax.stop_gradient
 
 
+def _stratify2(u2, rng, which: int):
+    """Map a uniform 2D sample onto the pixel's spp strata when the
+    upstream interior render attached ``rng.strata`` (stratify_primary):
+    strata = (s_idx, spp, rot_nee, rot_bsdf); ``which`` picks the
+    per-pixel rotation so different consumers decorrelate. Marginally
+    still uniform ("padded" stratified sampling); no-op when spp does not
+    factorize or strata are absent (boundary-estimator RNG streams)."""
+    strata = getattr(rng, "strata", None)
+    if strata is None:
+        return u2
+    s_idx, spp, rot_nee, rot_bsdf = strata
+    a = int(spp ** 0.5)
+    while a > 1 and spp % a:
+        a -= 1
+    if a <= 1:
+        return u2
+    s = (s_idx + (rot_nee if which == 0 else rot_bsdf)) % spp
+    cell = jnp.stack([(s % a).astype(jnp.float32),
+                      (s // a).astype(jnp.float32)], axis=-1)
+    return (cell + u2) / jnp.array([a, spp // a], jnp.float32)
+
+
 def _mdiv(a, b, mask):
     """a / b with the divisor forced to 1 on masked-out lanes."""
     if b.ndim < a.ndim:
@@ -92,8 +114,12 @@ class DirectIntegrator(Integrator):
             # skip reflectance for hits on the env bounding mesh
             active = active & (its.bsdf_id >= 0)
 
-        for _ in range(self.bsdf_samples):
-            bs = sample_bsdf(kinds, flat.bsdfs, its, rng.next_3d(n), active)
+        for k in range(self.bsdf_samples):
+            u3 = rng.next_3d(n)
+            if k == 0:
+                u3 = u3.at[:, 0:2].set(
+                    _stratify2(u3[:, 0:2], rng, which=1))
+            bs = sample_bsdf(kinds, flat.bsdfs, its, u3, active)
             active1 = active & bs.valid
 
             ray1 = Ray(its.p, to_world(its.sh_frame, bs.wo))
@@ -127,20 +153,8 @@ class DirectIntegrator(Integrator):
 
         for k in range(self.light_samples):
             u2 = rng.next_2d(n)
-            strata = getattr(rng, "strata", None)
-            if k == 0 and strata is not None:
-                # stratify the first light sample over the pixel's spp
-                # strata (rotated per pixel upstream): soft-shadow noise
-                # drops at identical cost; marginally still uniform
-                s_idx, spp = strata
-                a = int(spp ** 0.5)
-                while a > 1 and spp % a:
-                    a -= 1
-                if a > 1:
-                    cell = jnp.stack([(s_idx % a).astype(jnp.float32),
-                                      (s_idx // a).astype(jnp.float32)],
-                                     axis=-1)
-                    u2 = (cell + u2) / jnp.array([a, spp // a], jnp.float32)
+            if k == 0:
+                u2 = _stratify2(u2, rng, which=0)
             ps = sample_emitter_position(flat, offsets, emeta, its.p,
                                          u2, active)
             active1 = active & ps.valid

@@ -187,3 +187,31 @@ def test_stratified_nee_reduces_soft_shadow_variance():
     v_s = imgs[True].var(0).mean()
     v_i = imgs[False].var(0).mean()
     assert v_s < v_i, f"NEE stratification did not help: {v_s:.3e} vs {v_i:.3e}"
+
+def test_stratified_bsdf_reduces_variance():
+    """The per-pixel-rotated BSDF-sample stratification must lower
+    variance on a bsdf-sampling-only estimator and keep the mean."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from scenes import cbox_scene
+    from psdr_tpu import DirectIntegrator
+
+    integ = DirectIntegrator(1, 0)   # bsdf sampling only
+    imgs = {}
+    for strat in (True, False):
+        sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=1)
+        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        render = jax.jit(integ.render_fn(sc, with_boundary=False))
+        params = sc.params()
+        imgs[strat] = np.stack([
+            np.asarray(render(params, jax.random.PRNGKey(200 + s)))
+            for s in range(8)])
+    m_s, m_i = imgs[True].mean(0), imgs[False].mean(0)
+    v_s = imgs[True].var(0).mean()
+    v_i = imgs[False].var(0).mean()
+    # bsdf-only cbox is high-variance (the light is small): bound the
+    # mean gap by ~2x the expected |N(0, v_s/n + v_i/n)| magnitude
+    tol = 2.0 * np.sqrt((v_s + v_i) / imgs[True].shape[0])
+    assert np.abs(m_s - m_i).mean() < tol
+    assert v_s < v_i, f"BSDF stratification did not help: {v_s:.3e} vs {v_i:.3e}"
