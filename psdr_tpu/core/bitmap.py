@@ -11,6 +11,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .gather import gather_rows
+
 
 class Bitmap(NamedTuple):
     """data shape (H, W, C). (1, 1, C) means a constant texture."""
@@ -80,16 +82,18 @@ def eval_bitmap(bm: Bitmap, uv: jax.Array, flip_v: bool = False) -> jax.Array:
                                 jnp.roll(flat, -1, axis=0),
                                 jnp.roll(flat, -w, axis=0),
                                 jnp.roll(flat, -(w + 1), axis=0)], axis=1)
-        rows = quad[y0 * w + x0]
+        rows = gather_rows(quad, y0 * w + x0)
         v00, v10 = rows[..., 0:c], rows[..., c:2 * c]
         v01, v11 = rows[..., 2 * c:3 * c], rows[..., 3 * c:4 * c]
     else:
         # huge bitmaps (4k envmaps): the 4x quad copy (+ its same-shaped
         # backward cotangent) risks HBM blowup, so keep separate gathers
-        v00 = bm.data[y0, x0]
-        v10 = bm.data[y0, x0 + 1]
-        v01 = bm.data[y0 + 1, x0]
-        v11 = bm.data[y0 + 1, x0 + 1]
+        flatd = bm.data.reshape(h * w, c)
+        base = y0 * w + x0
+        v00 = gather_rows(flatd, base)
+        v10 = gather_rows(flatd, base + 1)
+        v01 = gather_rows(flatd, base + w)
+        v11 = gather_rows(flatd, base + w + 1)
 
     v0 = wx0[..., None] * v00 + wx1[..., None] * v10
     v1 = wx0[..., None] * v01 + wx1[..., None] * v11

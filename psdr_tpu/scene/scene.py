@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..core.constants import Epsilon, EdgeEpsilon
 from ..core.distribution import Discrete, discrete_init, discrete_sample_reuse
 from ..core.frame import make_frame, to_local
+from ..core.gather import gather_rows
 from ..core.math import (bilinear, dot, norm, normalize, rgb2luminance,
                          safe_sqrt, sign_eps, squared_norm,
                          ray_intersect_triangle)
@@ -665,9 +666,12 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
 
     if rows is not None or flat.face_table is not None:
         # one packed row gather instead of 14 separate table gathers
-        # (11.7x cheaper on v5e at 2M lanes — scripts/bench_gather.py)
+        # (11.7x cheaper on v5e at 2M lanes — scripts/bench_gather.py);
+        # the backward of this gather is the big (N,32)->(F,32)
+        # scatter-add — gather_rows makes its reduction strategy
+        # selectable (CLAUDE.md roadmap 2)
         if rows is None:
-            rows = flat.face_table[idx]
+            rows = gather_rows(flat.face_table, idx)
         tri = TriangleInfo(
             p0=rows[:, 0:3], e1=rows[:, 3:6], e2=rows[:, 6:9],
             n0=rows[:, 9:12], n1=rows[:, 12:15], n2=rows[:, 15:18],

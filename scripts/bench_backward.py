@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 def main():
     from psdr_tpu import DirectIntegrator
+    from psdr_tpu.core.gather import set_gather_vjp_mode
     from scenes import cbox_scene
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "native"
+    set_gather_vjp_mode(mode)
 
     width = height = 512
     spp = 16
@@ -53,6 +57,7 @@ def main():
         "value": samples / dt,
         "unit": "grad-samples/s",
         "seconds_per_iteration": dt,
+        "gather_vjp": mode,
     }))
 
 

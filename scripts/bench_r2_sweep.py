@@ -38,6 +38,12 @@ def main():
     for stage in ("cam", "nee", "full"):
         run(f"stage-{stage}", ["scripts/bench_e2e_stages.py", stage])
     run("remat-ab", ["scripts/bench_remat_ab.py"])
+    # backward gather-transpose strategy A/B (CLAUDE.md roadmap 2):
+    # sorted/cumsum replace the (N,32)->(F,32) scatter-add with a
+    # sort + vectorized reduction
+    for mode in ("native", "sorted", "cumsum"):
+        run(f"backward-gather-{mode}",
+            ["scripts/bench_backward.py", mode])
     run("bench", ["bench.py"])
 
 
