@@ -117,6 +117,22 @@ def main():
     def scatter_add_hist(key):
         return jnp.zeros((65,), jnp.int32).at[key].add(1).sum()
 
+    @jax.jit
+    def counting_sort_inv(key):
+        # segmented counting sort over the 65 key values: one-hot running
+        # count gives each lane's rank within its key; exclusive histogram
+        # cumsum gives the key's base offset. Produces the INVERSE
+        # permutation directly (where each lane lands), no compare-exchange
+        # network — candidate replacement for seg-argsort + inv
+        ks = key.reshape(n // seg, seg)
+        oh = jax.nn.one_hot(ks, 65, dtype=jnp.int32)
+        run = jnp.cumsum(oh, axis=1)
+        hist = run[:, -1, :]
+        offs = jnp.cumsum(hist, axis=1) - hist
+        rank = jnp.take_along_axis(run, ks[..., None], axis=2)[..., 0] - 1
+        off = jnp.take_along_axis(offs, ks, axis=1)
+        return (off + rank).sum()
+
     perm_in = jax.random.permutation(k2, n).astype(jnp.int32)
 
     for name, fn, a in [("sep-14", sep14, idx),
@@ -130,7 +146,8 @@ def main():
                         ("seg-argsort", seg_argsort, key65),
                         ("scatter-inv", perm_scatter_inv, perm_in),
                         ("argsort-inv", argsort_inv, perm_in),
-                        ("scatter-hist", scatter_add_hist, key65)]:
+                        ("scatter-hist", scatter_add_hist, key65),
+                        ("counting-inv", counting_sort_inv, key65)]:
         dt = bench(fn, a)
         print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
 

@@ -44,6 +44,7 @@ def main():
     for mode in ("native", "sorted", "cumsum"):
         run(f"backward-gather-{mode}",
             ["scripts/bench_backward.py", mode])
+    run("renderD", ["scripts/bench_renderD.py"])
     run("bench", ["bench.py"])
 
 
