@@ -133,6 +133,22 @@ def main():
         off = jnp.take_along_axis(offs, ks, axis=1)
         return (off + rank).sum()
 
+    @jax.jit
+    def perm_row_gather(perm):
+        rows = cols[:n // 64].reshape(-1, 32)
+        rows = jnp.broadcast_to(rows, (n // rows.shape[0],) +
+                                rows.shape).reshape(n, 32)
+        return rows[perm].sum()
+
+    @jax.jit
+    def perm_row_scatter(perm):
+        # permute packed rows by scattering into position (the counting-
+        # sort sort path needs this instead of a gather-by-perm)
+        rows = cols[:n // 64].reshape(-1, 32)
+        rows = jnp.broadcast_to(rows, (n // rows.shape[0],) +
+                                rows.shape).reshape(n, 32)
+        return jnp.zeros((n, 32), jnp.float32).at[perm].set(rows).sum()
+
     perm_in = jax.random.permutation(k2, n).astype(jnp.int32)
 
     for name, fn, a in [("sep-14", sep14, idx),
@@ -147,7 +163,9 @@ def main():
                         ("scatter-inv", perm_scatter_inv, perm_in),
                         ("argsort-inv", argsort_inv, perm_in),
                         ("scatter-hist", scatter_add_hist, key65),
-                        ("counting-inv", counting_sort_inv, key65)]:
+                        ("counting-inv", counting_sort_inv, key65),
+                        ("perm-row-gather", perm_row_gather, perm_in),
+                        ("perm-row-scatter", perm_row_scatter, perm_in)]:
         dt = bench(fn, a)
         print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
 
