@@ -37,7 +37,11 @@ def _metal_scene():
 
 
 def main():
+    modes = ("mesh_transform", "mesh_rotate", "vertex_transform",
+             "material_roughness")
     mode = sys.argv[1] if len(sys.argv) > 1 else "mesh_transform"
+    if mode not in modes:
+        sys.exit(f"usage: validate_gradients.py [{'|'.join(modes)}] [out_dir]")
     out = sys.argv[2] if len(sys.argv) > 2 else "out"
     os.makedirs(out, exist_ok=True)
 

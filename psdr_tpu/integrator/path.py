@@ -32,7 +32,7 @@ from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            ray_test, sample_emitter_position, scene_le,
                            select_rows)
 from .base import Integrator
-from .direct import DirectIntegrator, _emitter_meta, _mdiv
+from .direct import DirectIntegrator, _emitter_meta, _mdiv, _stratify2
 
 sg = jax.lax.stop_gradient
 
@@ -74,8 +74,13 @@ class PathTracer(Integrator):
 
         for _depth in range(self.max_depth):
             # --- NEE via occlusion test (tmax-pruned; see direct.py) ---
+            u2 = rng.next_2d(n)
+            if _depth == 0:
+                # first-bounce NEE/BSDF samples ride the pixel's rotated
+                # spp strata (stratify_primary; see direct._stratify2)
+                u2 = _stratify2(u2, rng, which=0)
             ps = sample_emitter_position(flat, offsets, emeta, its.p,
-                                         rng.next_2d(n), active)
+                                         u2, active)
             active_l = active & ps.valid
 
             wo = ps.p - its.p
@@ -112,7 +117,10 @@ class PathTracer(Integrator):
                                         beta * contrib, 0.0)
 
             # --- BSDF continuation (direct.cpp:64-114 pattern) ---
-            bs = sample_bsdf(kinds, flat.bsdfs, its, rng.next_3d(n), active)
+            u3 = rng.next_3d(n)
+            if _depth == 0:
+                u3 = u3.at[:, 0:2].set(_stratify2(u3[:, 0:2], rng, which=1))
+            bs = sample_bsdf(kinds, flat.bsdfs, its, u3, active)
             active_b = active & bs.valid
 
             ray_b = Ray(its.p, to_world(its.sh_frame, bs.wo))
