@@ -45,14 +45,23 @@ class PathTracer(Integrator):
     """
 
     def __init__(self, max_depth: int = 3, hide_emitters: bool = False,
-                 camera_depth: int = 1):
+                 camera_depth: int = 1, scan_depths: bool | None = None):
         """``camera_depth`` >= 2 adds the camera-side indirect boundary
         estimators: discontinuities whose receiver point is seen through
-        up to camera_depth-1 extra bounces (BASELINE config 4)."""
+        up to camera_depth-1 extra bounces (BASELINE config 4).
+
+        ``scan_depths``: run the middle bounces (neither the stratified
+        first nor the emitter-first last) as one ``lax.scan`` iteration
+        instead of Python-unrolling them — the traced program stays O(1)
+        in max_depth (deep paths would otherwise multiply the 40s-8min
+        tunnel compile time). None = auto: scan when >= 4 middle depths.
+        Unrolled and scanned modes draw identical per-depth subkeys, so
+        they produce the same image (tests/test_path.py)."""
         assert max_depth >= 1 and camera_depth >= 1
         self.max_depth = max_depth
         self.hide_emitters = hide_emitters
         self.camera_depth = camera_depth
+        self.scan_depths = scan_depths
         self.warpper: dict[int, object] = {}
         self.ind_warpper: dict[int, object] = {}
 
@@ -72,10 +81,15 @@ class PathTracer(Integrator):
         if flat.envmap is not None:
             active = active & (its.bsdf_id >= 0)
 
-        for _depth in range(self.max_depth):
+        # every per-depth draw folds (depth, draw-id) from one subkey, so
+        # the unrolled and lax.scan depth loops consume identical samples
+        depth_base = rng._subkey()
+
+        def depth_body(state, kd, first: bool, last: bool):
+            its, beta, active, result = state
             # --- NEE via occlusion test (tmax-pruned; see direct.py) ---
-            u2 = rng.next_2d(n)
-            if _depth == 0:
+            u2 = jax.random.uniform(jax.random.fold_in(kd, 0), (n, 2))
+            if first:
                 # first-bounce NEE/BSDF samples ride the pixel's rotated
                 # spp strata (stratify_primary; see direct._stratify2)
                 u2 = _stratify2(u2, rng, which=0)
@@ -117,14 +131,13 @@ class PathTracer(Integrator):
                                         beta * contrib, 0.0)
 
             # --- BSDF continuation (direct.cpp:64-114 pattern) ---
-            u3 = rng.next_3d(n)
-            if _depth == 0:
+            u3 = jax.random.uniform(jax.random.fold_in(kd, 1), (n, 3))
+            if first:
                 u3 = u3.at[:, 0:2].set(_stratify2(u3[:, 0:2], rng, which=1))
             bs = sample_bsdf(kinds, flat.bsdfs, its, u3, active)
             active_b = active & bs.valid
 
             ray_b = Ray(its.p, to_world(its.sh_frame, bs.wo))
-            last = _depth == self.max_depth - 1
             if last and flat.em_tri_idx is not None:
                 # the final bounce has no continuation: only the MIS-
                 # weighted emitter hit consumes its_b, so the full-scene
@@ -162,8 +175,32 @@ class PathTracer(Integrator):
                 beta = jnp.where(hit_b[..., None], beta * f_over_pdf, 0.0)
                 active = hit_b & (its_b.bsdf_id >= 0) & jnp.any(beta > 0.0, -1)
                 its = its_b
+            return its, beta, active, result
 
-        return result
+        D = self.max_depth
+        state = (its, beta, active, result)
+        state = depth_body(state, jax.random.fold_in(depth_base, 0),
+                           first=True, last=(D == 1))
+        n_mid = D - 2  # depths 1 .. D-2: uniform body, scannable
+        if n_mid > 0:
+            use_scan = (self.scan_depths if self.scan_depths is not None
+                        else n_mid >= 4)
+            if use_scan:
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(depth_base, i))(
+                        jnp.arange(1, D - 1))
+                state = jax.lax.scan(
+                    lambda st, kd: (depth_body(st, kd, False, False), None),
+                    state, keys)[0]
+            else:
+                for d in range(1, D - 1):
+                    state = depth_body(
+                        state, jax.random.fold_in(depth_base, d),
+                        first=False, last=False)
+        if D >= 2:
+            state = depth_body(state, jax.random.fold_in(depth_base, D - 1),
+                               first=False, last=True)
+        return state[3]
 
     # -- boundary terms ------------------------------------------------------
     # The *direct* boundary estimator (emitter-sampled far side) applies

@@ -104,3 +104,31 @@ def test_path_stratification_reduces_variance():
     tol = 2.0 * np.sqrt((v_s + v_i) / imgs[True].shape[0])
     assert np.abs(imgs[True].mean(0) - imgs[False].mean(0)).mean() < tol
     assert v_s < v_i, f"stratification did not help: {v_s:.3e} vs {v_i:.3e}"
+
+
+def test_path_scan_depths_matches_unrolled():
+    """The lax.scan middle-depth loop must produce the same image and
+    gradients as the Python-unrolled loop (identical per-depth subkeys)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenes import cbox_scene
+    from psdr_tpu import PathTracer
+
+    sc = cbox_scene(width=16, height=16, spp=4, occluder_subdiv=1)
+    params = sc.params()
+    key = jax.random.PRNGKey(5)
+    for D in (1, 3, 6):
+        img, grd = {}, {}
+        for scan in (False, True):
+            integ = PathTracer(max_depth=D, scan_depths=scan)
+            render = integ.render_fn(sc, with_boundary=False)
+            img[scan] = np.asarray(jax.jit(render)(params, key))
+            g = jax.grad(lambda p: jnp.sum(render(p, key)))(params)
+            grd[scan] = np.concatenate(
+                [np.ravel(x) for x in jax.tree.leaves(g)])
+        np.testing.assert_array_equal(img[True], img[False], err_msg=f"D={D}")
+        # the scan backward accumulates cotangents per-iteration, so its
+        # float rounding differs slightly from the unrolled chain
+        np.testing.assert_allclose(grd[True], grd[False], rtol=1e-2,
+                                   atol=1e-3, err_msg=f"D={D}")
