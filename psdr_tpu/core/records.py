@@ -124,8 +124,9 @@ class RenderOptions:
     remat_passes: bool = True
     # stratify the subpixel jitter over an a x b grid when spp factorizes
     # (beyond-reference; the reference samples subpixels independently);
-    # also stratifies the first NEE light sample per pixel with a
-    # per-pixel rotation of the stratum index
+    # also stratifies the first NEE and first BSDF sample per pixel with
+    # independent per-pixel rotations of the stratum index (direct
+    # lighting and PathTracer depth 0)
     stratify_primary: bool = True
 
     @property
