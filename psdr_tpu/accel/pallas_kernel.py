@@ -306,8 +306,8 @@ def ray_intersect_pallas_culled(bvh, ray_o: jax.Array, ray_d: jax.Array,
         grid=(n_rblocks,),
         in_specs=[
             pl.BlockSpec((8, rb), lambda i, *_: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((8, rb), lambda i, *_: (0, i)),
         scratch_shapes=[
@@ -759,7 +759,7 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
             pl.BlockSpec((8, rb), lambda i: (0, i)),
             pl.BlockSpec((8, b_pad), lambda i: (0, 0)),
             pl.BlockSpec((8, sb_pad), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((8, rb), lambda i: (0, i)),
         scratch_shapes=[

@@ -48,7 +48,10 @@ def eval_diffuse(params: dict, its: Intersection, wo: jax.Array,
 def sample_diffuse(params: dict, its: Intersection, sample3: jax.Array,
                    active: jax.Array) -> BSDFSample:
     cti = cos_theta(its.wi)
-    wo = warp.square_to_cosine_hemisphere(sample3[..., 1:3])
+    # consume dims 0:2 (the reference uses tail<2>, diffuse.cpp) so ALL
+    # bsdfs warp the same sample dims — the first-bounce stratification
+    # (integrator/direct._stratify2) stratifies exactly sample3[..., 0:2]
+    wo = warp.square_to_cosine_hemisphere(sample3[..., 0:2])
     pdf = warp.square_to_cosine_hemisphere_pdf(wo)
     return BSDFSample(valid=active & (cti > 0.0), pdf=pdf, wo=wo)
 

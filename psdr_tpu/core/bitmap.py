@@ -11,7 +11,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .gather import gather_rows
+from .gather import gather_rows, gather_rows_offsets
 
 
 class Bitmap(NamedTuple):
@@ -88,12 +88,10 @@ def eval_bitmap(bm: Bitmap, uv: jax.Array, flip_v: bool = False) -> jax.Array:
     else:
         # huge bitmaps (4k envmaps): the 4x quad copy (+ its same-shaped
         # backward cotangent) risks HBM blowup, so keep separate gathers
+        # (offsets variant: their backwards share one cotangent sort)
         flatd = bm.data.reshape(h * w, c)
-        base = y0 * w + x0
-        v00 = gather_rows(flatd, base)
-        v10 = gather_rows(flatd, base + 1)
-        v01 = gather_rows(flatd, base + w)
-        v11 = gather_rows(flatd, base + w + 1)
+        v00, v10, v01, v11 = gather_rows_offsets(
+            flatd, y0 * w + x0, (0, 1, w, w + 1))
 
     v0 = wx0[..., None] * v00 + wx1[..., None] * v10
     v1 = wx0[..., None] * v01 + wx1[..., None] * v11

@@ -1,4 +1,4 @@
-"""Wavefront row gather with a configurable backward.
+"""Wavefront row gather with a configurable transpose (backward).
 
 The transpose of ``table[idx]`` (idx: N wavefront lanes, table: F rows) is
 a scatter-add of N cotangent rows into F table rows. XLA lowers that to a
@@ -7,6 +7,13 @@ face-table gather funnels every interior-lane cotangent through it
 (CLAUDE.md roadmap 2). The sorted modes below reorder the cotangent rows
 by destination first, turning the reduction into a sorted segment sum or a
 cumsum difference, both of which vectorize on the VPU.
+
+Built on ``jax.custom_derivatives.linear_call`` (the gather is linear in
+``table``), so BOTH autodiff modes work: the jvp of a linear function is
+the function itself (tangents take the same gather), and the reverse-mode
+transpose is the selectable reduction. A ``jax.custom_vjp`` formulation
+would break the repo's jvp-based AD-vs-FD harness (testing/harness.py
+``run_ad``).
 
 Parity note: the reference accumulates these gradients with CUDA atomics
 (enoki ``scatter_add``, e.g. /root/reference/src/core/bitmap.cpp grads);
@@ -22,15 +29,14 @@ Modes
   ``segment_sum(..., indices_are_sorted=True)``.
 - ``cumsum``: argsort, exclusive-padded cumsum, per-row difference at
   segment bounds — no scatter at all, but float32 prefix-sum association
-  error grows with N (validated to 1e-3 relative at 2^20 lanes in
-  tests/test_core.py).
+  error grows with N (validated to 2e-3 tolerance at 2^16 lanes in
+  tests/test_core.py; expect it to grow ~sqrt(N) beyond that).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
+from jax.custom_derivatives import linear_call
 
 _MODES = ("native", "scatter", "sorted", "cumsum")
 _default_mode = "native"
@@ -48,45 +54,37 @@ def get_gather_vjp_mode() -> str:
     return _default_mode
 
 
-@functools.lru_cache(maxsize=None)
-def _gather_with_vjp(mode: str):
-    @jax.custom_vjp
-    def g(table, idx):
-        return table[idx]
+def _resolve(mode: str | None) -> str:
+    mode = mode or _default_mode
+    if mode not in _MODES:
+        raise ValueError(f"gather vjp mode {mode!r} not in {_MODES}")
+    return mode
 
-    def fwd(table, idx):
-        # (F, 0) empty array carries the static row count through the
-        # residual pytree at zero bytes
-        return table[idx], (idx, jnp.empty((table.shape[0], 0), table.dtype))
 
-    def bwd(res, ct):
-        idx, shape_ref = res
-        F = shape_ref.shape[0]
-        # flatten lane dims (bitmap eval gathers with (...,)-shaped idx)
-        row_shape = ct.shape[idx.ndim:]
-        ct = ct.reshape((-1,) + row_shape)
-        idx = idx.reshape(-1)
-        if mode == "scatter":
-            d = jnp.zeros((F,) + row_shape, ct.dtype).at[idx].add(ct)
-        else:
-            order = jnp.argsort(idx).astype(jnp.int32)
-            idx_s = idx[order]
-            ct_s = ct[order]
-            if mode == "sorted":
-                d = jax.ops.segment_sum(ct_s, idx_s, num_segments=F,
-                                        indices_are_sorted=True)
-            else:  # cumsum
-                csum = jnp.concatenate(
-                    [jnp.zeros((1,) + ct.shape[1:], ct.dtype),
-                     jnp.cumsum(ct_s, axis=0)], axis=0)
-                rows = jnp.arange(F, dtype=idx_s.dtype)
-                left = jnp.searchsorted(idx_s, rows, side="left")
-                right = jnp.searchsorted(idx_s, rows, side="right")
-                d = csum[right] - csum[left]
-        return d, None
+def _sorted_reduce(mode: str, idx_s, ct_s, F: int):
+    """Reduce already-sorted cotangent rows into (F, ...) table rows."""
+    if mode == "sorted":
+        return jax.ops.segment_sum(ct_s, idx_s, num_segments=F,
+                                   indices_are_sorted=True)
+    # cumsum: exclusive-padded prefix sum, difference at segment bounds
+    csum = jnp.concatenate(
+        [jnp.zeros((1,) + ct_s.shape[1:], ct_s.dtype),
+         jnp.cumsum(ct_s, axis=0)], axis=0)
+    rows = jnp.arange(F, dtype=idx_s.dtype)
+    left = jnp.searchsorted(idx_s, rows, side="left")
+    right = jnp.searchsorted(idx_s, rows, side="right")
+    return csum[right] - csum[left]
 
-    g.defvjp(fwd, bwd)
-    return g
+
+def _transpose_one(mode: str, idx, ct, F: int):
+    """Cotangent rows (lane-shaped) -> (F, ...) table gradient."""
+    row_shape = ct.shape[idx.ndim:]
+    ct = ct.reshape((-1,) + row_shape)
+    idx = idx.reshape(-1)
+    if mode == "scatter":
+        return jnp.zeros((F,) + row_shape, ct.dtype).at[idx].add(ct)
+    order = jnp.argsort(idx).astype(jnp.int32)
+    return _sorted_reduce(mode, idx[order], ct[order], F)
 
 
 def gather_rows(table: jax.Array, idx: jax.Array,
@@ -97,9 +95,46 @@ def gather_rows(table: jax.Array, idx: jax.Array,
     trace time; jit caching is per-traced-program, so flip the default
     before tracing, not between calls of a compiled function.
     """
-    mode = mode or _default_mode
+    mode = _resolve(mode)
     if mode == "native":
         return table[idx]
-    if mode not in _MODES:
-        raise ValueError(f"gather vjp mode {mode!r} not in {_MODES}")
-    return _gather_with_vjp(mode)(table, idx)
+    F = table.shape[0]
+    return linear_call(lambda r, t: t[r],
+                       lambda r, ct: _transpose_one(mode, r, ct, F),
+                       idx, table)
+
+
+def gather_rows_offsets(table: jax.Array, idx: jax.Array,
+                        offsets: tuple[int, ...],
+                        mode: str | None = None) -> tuple[jax.Array, ...]:
+    """``tuple(table[idx + o] for o in offsets)`` sharing ONE backward
+    sort: adding a constant preserves sorted order, so every offset's
+    cotangent reduction reuses the argsort of ``idx`` (the bitmap
+    bilinear quad would otherwise pay 4 argsorts of near-identical
+    index arrays)."""
+    mode = _resolve(mode)
+    if mode == "native":
+        return tuple(table[idx + o] for o in offsets)
+    F = table.shape[0]
+
+    def fwd(r, t):
+        return tuple(t[r + o] for o in offsets)
+
+    def transpose(r, cts):
+        if mode == "scatter":
+            d = jnp.zeros(table.shape, cts[0].dtype)
+            for o, ct in zip(offsets, cts):
+                d = d.at[(r + o).reshape(-1)].add(
+                    ct.reshape((-1,) + ct.shape[r.ndim:]))
+            return d
+        rf = r.reshape(-1)
+        order = jnp.argsort(rf).astype(jnp.int32)
+        idx_s = rf[order]
+        d = None
+        for o, ct in zip(offsets, cts):
+            ct_s = ct.reshape((-1,) + ct.shape[r.ndim:])[order]
+            part = _sorted_reduce(mode, idx_s + o, ct_s, F)
+            d = part if d is None else d + part
+        return d
+
+    return linear_call(fwd, transpose, idx, table)

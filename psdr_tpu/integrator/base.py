@@ -149,8 +149,11 @@ class Integrator:
                             % jnp.uint32(spp)).astype(jnp.int32)
 
                 # independent per-pixel rotations for the NEE and BSDF
-                # consumers so their stratum alignments decorrelate
-                rng.strata = (s_idx, spp, pix_hash(w[0]), pix_hash(w[1]))
+                # consumers so their stratum alignments decorrelate; the
+                # (sa, sb) grid rides along so _stratify2 shares THIS
+                # factorization instead of re-deriving one
+                rng.strata = (s_idx, spp, (sa, sb),
+                              pix_hash(w[0]), pix_hash(w[1]))
             samples = (base + jitter) / jnp.array(
                 [opts.width, opts.height], jnp.float32)
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)

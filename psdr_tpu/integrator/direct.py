@@ -47,23 +47,18 @@ sg = jax.lax.stop_gradient
 def _stratify2(u2, rng, which: int):
     """Map a uniform 2D sample onto the pixel's spp strata when the
     upstream interior render attached ``rng.strata`` (stratify_primary):
-    strata = (s_idx, spp, rot_nee, rot_bsdf); ``which`` picks the
+    strata = (s_idx, spp, (a, b), rot_nee, rot_bsdf); ``which`` picks the
     per-pixel rotation so different consumers decorrelate. Marginally
-    still uniform ("padded" stratified sampling); no-op when spp does not
-    factorize or strata are absent (boundary-estimator RNG streams)."""
+    still uniform ("padded" stratified sampling); no-op when strata are
+    absent (non-factorizing spp, boundary-estimator RNG streams)."""
     strata = getattr(rng, "strata", None)
     if strata is None:
         return u2
-    s_idx, spp, rot_nee, rot_bsdf = strata
-    a = int(spp ** 0.5)
-    while a > 1 and spp % a:
-        a -= 1
-    if a <= 1:
-        return u2
+    s_idx, spp, (a, b), rot_nee, rot_bsdf = strata
     s = (s_idx + (rot_nee if which == 0 else rot_bsdf)) % spp
     cell = jnp.stack([(s % a).astype(jnp.float32),
                       (s // a).astype(jnp.float32)], axis=-1)
-    return (cell + u2) / jnp.array([a, spp // a], jnp.float32)
+    return (cell + u2) / jnp.array([a, b], jnp.float32)
 
 
 def _mdiv(a, b, mask):

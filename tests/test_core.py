@@ -234,7 +234,8 @@ def test_gather_rows_vjp_modes_agree():
         g = jax.grad(lambda t: loss(t, mode))(table)
         tol = 2e-3 if mode == "cumsum" else 1e-6
         np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
-                                   rtol=tol, atol=tol * np.abs(ref).max()), mode
+                                   rtol=tol, atol=tol * np.abs(ref).max(),
+                                   err_msg=mode)
     # multi-dim lane shape (bitmap eval)
     g2 = jax.grad(lambda t: loss(t, "sorted", shape=(256, 256)))(table)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(ref),
@@ -270,3 +271,47 @@ def test_gather_rows_vjp_modes_render_grads_agree():
                 np.asarray(a), np.asarray(b), rtol=2e-3,
                 atol=2e-3 * (np.abs(np.asarray(a)).max() + 1e-8)),
             ref, grads[mode])
+
+
+def test_gather_rows_jvp_and_offsets():
+    """Forward-mode AD must work through every gather mode (the AD-vs-FD
+    harness drives jax.jvp through renders), and the shared-sort offsets
+    variant must match per-offset gathers in both primal and gradient."""
+    from psdr_tpu.core.gather import gather_rows, gather_rows_offsets
+
+    F, C, N = 130, 8, 4096
+    table = jax.random.normal(jax.random.PRNGKey(0), (F, C))
+    tang = jax.random.normal(jax.random.PRNGKey(1), (F, C))
+    idx = jax.random.randint(jax.random.PRNGKey(2), (N,), 0, F - 3,
+                             jnp.int32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (N, C))
+
+    ref_p, ref_t = jax.jvp(lambda t: jnp.sum(gather_rows(t, idx) * w),
+                           (table,), (tang,))
+    for mode in ("scatter", "sorted", "cumsum"):
+        p, t = jax.jvp(
+            lambda tt: jnp.sum(gather_rows(tt, idx, mode=mode) * w),
+            (table,), (tang,))
+        np.testing.assert_allclose(np.asarray(p), np.asarray(ref_p),
+                                   rtol=1e-6, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(ref_t),
+                                   rtol=1e-6, err_msg=mode)
+
+    offs = (0, 1, 2)
+
+    def loss_offsets(t, mode):
+        parts = gather_rows_offsets(t, idx, offs, mode=mode)
+        return sum(jnp.sum(p * w) for p in parts)
+
+    def loss_sep(t):
+        return sum(jnp.sum(t[idx + o] * w) for o in offs)
+
+    g_ref = jax.grad(loss_sep)(table)
+    for mode in ("native", "scatter", "sorted", "cumsum"):
+        v = loss_offsets(table, mode)
+        np.testing.assert_allclose(np.asarray(v),
+                                   np.asarray(loss_sep(table)), rtol=1e-6)
+        g = jax.grad(lambda t: loss_offsets(t, mode))(table)
+        tol = 2e-3 if mode == "cumsum" else 1e-5
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=tol, atol=tol, err_msg=mode)

@@ -124,11 +124,13 @@ def test_path_scan_depths_matches_unrolled():
             integ = PathTracer(max_depth=D, scan_depths=scan)
             render = integ.render_fn(sc, with_boundary=False)
             img[scan] = np.asarray(jax.jit(render)(params, key))
-            g = jax.grad(lambda p: jnp.sum(render(p, key)))(params)
-            grd[scan] = np.concatenate(
-                [np.ravel(x) for x in jax.tree.leaves(g)])
+            if D == 3:  # gradient check once; deeper only adds runtime
+                g = jax.grad(lambda p: jnp.sum(render(p, key)))(params)
+                grd[scan] = np.concatenate(
+                    [np.ravel(x) for x in jax.tree.leaves(g)])
         np.testing.assert_array_equal(img[True], img[False], err_msg=f"D={D}")
-        # the scan backward accumulates cotangents per-iteration, so its
-        # float rounding differs slightly from the unrolled chain
-        np.testing.assert_allclose(grd[True], grd[False], rtol=1e-2,
-                                   atol=1e-3, err_msg=f"D={D}")
+        if grd:
+            # the scan backward accumulates cotangents per-iteration, so
+            # its float rounding differs slightly from the unrolled chain
+            np.testing.assert_allclose(grd[True], grd[False], rtol=1e-2,
+                                       atol=1e-3, err_msg=f"D={D}")
