@@ -315,3 +315,22 @@ def test_gather_rows_jvp_and_offsets():
         tol = 2e-3 if mode == "cumsum" else 1e-5
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=tol, atol=tol, err_msg=mode)
+
+
+def test_gather_rows_cumsum_backward_is_scatter_free():
+    """The cumsum mode's entire point: its backward HLO must contain NO
+    scatter op (native/sorted lower the reduction to XLA scatter)."""
+    from psdr_tpu.core.gather import gather_rows
+
+    F, C, N = 257, 32, 4096
+    table = jax.random.normal(jax.random.PRNGKey(0), (F, C))
+    idx = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, F, jnp.int32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (N, C))
+
+    def hlo(mode):
+        g = jax.jit(jax.grad(
+            lambda t: jnp.sum(gather_rows(t, idx, mode=mode) * w)))
+        return g.lower(table).as_text()
+
+    assert "scatter" in hlo("native")     # baseline really scatters
+    assert "scatter" not in hlo("cumsum")
