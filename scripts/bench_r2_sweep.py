@@ -45,6 +45,7 @@ def main():
         run(f"backward-gather-{mode}",
             ["scripts/bench_backward.py", mode])
     run("renderD", ["scripts/bench_renderD.py"])
+    run("guiding-scale", ["scripts/bench_guiding_scale.py"])
     run("bench", ["bench.py"])
 
 
