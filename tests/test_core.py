@@ -253,6 +253,7 @@ def test_gather_rows_vjp_modes_render_grads_agree():
     sc = cbox_scene(width=16, height=16, spp=4)
     integ = DirectIntegrator(1, 1)
     grads = {}
+    jvps = {}
     try:
         for mode in ("native", "sorted", "cumsum"):
             set_gather_vjp_mode(mode)
@@ -262,8 +263,16 @@ def test_gather_rows_vjp_modes_render_grads_agree():
                 return jnp.sum(render(params, jax.random.PRNGKey(3)))
 
             grads[mode] = jax.grad(loss)(sc.params())
+            # forward mode too: the AD-vs-FD harness (run_ad) drives
+            # jax.jvp through renders, so a flipped default must not
+            # break it (linear_call supports both; custom_vjp wouldn't)
+            p0 = sc.params()
+            tang = jax.tree.map(jnp.ones_like, p0)
+            jvps[mode] = float(jax.jvp(loss, (p0,), (tang,))[1])
     finally:
         set_gather_vjp_mode("native")
+    for mode in ("sorted", "cumsum"):
+        np.testing.assert_allclose(jvps[mode], jvps["native"], rtol=1e-4)
     ref = grads["native"]
     for mode in ("sorted", "cumsum"):
         jax.tree.map(
