@@ -253,3 +253,23 @@ def test_bitmap_quad_and_fallback_paths_agree():
         + ((1 - wx1) * wy1)[:, None] * data_big[y0 + 1, x0] \
         + (wx1 * wy1)[:, None] * data_big[y0 + 1, x0 + 1]
     assert np.allclose(a, np.asarray(ref), atol=1e-6)
+
+
+def test_truncated_files_raise_cleanly():
+    """A truncated EXR must raise an exception from every codec path —
+    never hang, over-read, or return silently corrupted pixels (the
+    vendored-C decoder the reference uses is a known over-read risk;
+    the numpy codecs are bounds-safe by construction, pinned here)."""
+    import numpy as np
+    import pytest
+    from psdr_tpu.core.exr import write_exr, read_exr
+
+    img = np.random.default_rng(0).random((17, 23, 3), dtype=np.float32)
+    for comp in ("none", "rle", "zips", "zip", "piz", "pxr24", "b44"):
+        write_exr(str(tmp := "/tmp/_trunc_src.exr"), img, compression=comp)
+        data = open(tmp, "rb").read()
+        for frac in (0.3, 0.7, 0.97):
+            with open("/tmp/_trunc.exr", "wb") as f:
+                f.write(data[:int(len(data) * frac)])
+            with pytest.raises(Exception):
+                read_exr("/tmp/_trunc.exr")
