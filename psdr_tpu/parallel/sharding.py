@@ -244,3 +244,91 @@ def initialize_distributed(coordinator_address: str | None = None,
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
+
+
+# -- multi-view (sensor-parallel) inverse rendering (BASELINE config 5) ------
+
+def _stack_sensors(sensors):
+    """Stack per-sensor SensorState pytrees along a leading axis so a
+    traced device index can select its view. ``resolution`` is a static
+    tuple (must match across sensors) and rides around the stack."""
+    s0 = sensors[0]
+    assert all(s.resolution == s0.resolution for s in sensors), \
+        "multi-view sharding needs equal per-sensor resolutions"
+    stripped = [s._replace(resolution=None) for s in sensors]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *stripped)
+    return stacked, s0.resolution
+
+
+def _select_sensor(stacked, resolution, d):
+    sel = jax.tree.map(lambda a: a[d], stacked)
+    return sel._replace(resolution=resolution)
+
+
+def make_multiview_train_step(integrator, scene, mesh: Mesh, targets,
+                              optimizer=None, with_boundary: bool = True):
+    """Jitted multi-view inverse-rendering step: one VIEW per device.
+
+    BASELINE config 5's sharding axis: device d renders sensor
+    ``d % n_sensors`` at the full per-view sample budget against
+    ``targets[d % n_sensors]``; the loss is the mean over views of the
+    per-view L2, gradients (geometry + materials + emitters + sensors)
+    are ``psum``'d over the mesh, and the optimizer update runs inside
+    ``shard_map`` like the overlapped path of ``make_train_step``.
+
+    Requires ``len(mesh) % n_sensors == 0`` (views get equal device
+    counts; replicas of a view draw independent RNG folds, which only
+    lowers that view's estimator variance).
+    """
+    import optax
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n_views = scene.num_sensors
+    assert n_dev % n_views == 0, \
+        f"{n_dev} devices cannot evenly cover {n_views} views"
+    targets = jnp.stack([jnp.asarray(t) for t in targets])
+    assert targets.shape[0] == n_views
+    scene.prepare_accel()
+    opt_state = optimizer.init(scene.params())
+
+    def per_device(params, opt_state, key):
+        d = jax.lax.axis_index(axis)
+        view = d % n_views
+
+        def render_view(q):
+            flat = scene.build(q)
+            stacked, reso = _stack_sensors(flat.sensors)
+            flat = flat._replace(
+                sensors=(_select_sensor(stacked, reso, view),))
+            return integrator.radiance_image(
+                scene, flat, 0, jax.random.fold_in(key, d), with_boundary)
+
+        # explicit VJP with an analytic loss cotangent (see
+        # make_train_step: transposing a collective under check_vma=False
+        # double-counts replicated cotangents)
+        img, vjp = jax.vjp(render_view, params)
+        diff = img - targets[view]
+        loss = jax.lax.pmean(jnp.mean(diff * diff), axis)
+        cot = jax.lax.stop_gradient(2.0 * diff / (diff.size * n_dev))
+        grads = vjp(cot)[0]
+
+        leaves, treedef = jax.tree.flatten(grads)
+        order = sorted(range(len(leaves)), key=lambda i: -leaves[i].size)
+        reduced = list(leaves)
+        for i in order:
+            reduced[i] = jax.lax.psum(reduced[i], axis)
+        grads = jax.tree.unflatten(treedef, reduced)
+
+        updates, new_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, loss
+
+    params_spec = jax.tree.map(lambda _: P(), scene.params())
+    state_spec = jax.tree.map(lambda _: P(), opt_state)
+    f = shard_map(per_device, mesh=mesh,
+                  in_specs=(params_spec, state_spec, P()),
+                  out_specs=(params_spec, state_spec, P()),
+                  check_vma=False)
+    return jax.jit(f), opt_state

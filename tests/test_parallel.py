@@ -286,3 +286,88 @@ def test_collective_guiding_build_matches_serial():
     assert np.isfinite(pmf).all() and (pmf >= 0).all()
     np.testing.assert_allclose(float(d.total), pmf.sum(), rtol=1e-5)
     assert pmf.sum() > 0.0
+
+
+@pytest.mark.slow
+def test_multiview_train_step_matches_serial():
+    """BASELINE config 5 (scaled down): one view per device. The sharded
+    multi-view step's loss and updated params must equal a serial
+    emulation of mean-over-views L2 with matched per-device RNG folds,
+    and a few steps must reduce the loss (deforming-mesh recovery)."""
+    import dataclasses
+    import optax
+    from scenes import sphere_light_scene
+    from psdr_tpu import PerspectiveCamera
+    from psdr_tpu.core import transform as xfm
+    from psdr_tpu.parallel.sharding import (make_multiview_train_step,
+                                            _stack_sensors, _select_sensor)
+
+    sc = sphere_light_scene(width=16, height=16, spp=2)
+    sc.opts = dataclasses.replace(sc.opts, sppe=2, sppse=4)
+    for i, eye in enumerate(([6.0, 1.5, 0.0], [0.0, 1.5, 6.0],
+                             [-6.0, 1.5, 0.0])):
+        cam = PerspectiveCamera(fov_x=40.0)
+        cam.set_transform(np.asarray(xfm.look_at(eye, [0, 0, 0], [0, 1, 0])))
+        sc.add_sensor(cam)
+    n_views = sc.num_sensors  # 4
+    integ = DirectIntegrator(1, 1)
+
+    # targets: renders at the true params
+    sc.prepare_accel()
+    targets = [np.asarray(integ.radiance_image(
+        sc, sc.build(sc.params()), s, jax.random.PRNGKey(900 + s), False))
+        for s in range(n_views)]
+
+    mesh = device_mesh(8)
+    n_dev = 8
+    # optimize only the deformed mesh's parameters (the recovery check
+    # below perturbs the mesh transform; a global-lr Adam on albedo +
+    # emitter + camera thrashes at this tiny scale)
+    p0_l = sc.params()
+    mask = jax.tree.map(lambda _: False, p0_l)
+    mask["meshes"] = jax.tree.map(lambda _: True, p0_l["meshes"])
+    optimizer = optax.masked(optax.adam(5e-2), mask)
+    step, opt_state = make_multiview_train_step(
+        integ, sc, mesh, targets, optimizer=optimizer, with_boundary=True)
+
+    params0 = sc.params()
+    key = jax.random.PRNGKey(3)
+    p1, s1, loss1 = step(params0, opt_state, key)
+
+    # serial emulation with identical per-device keys and view mapping
+    def total_loss(q):
+        tot = 0.0
+        flat = sc.build(q)
+        stacked, reso = _stack_sensors(flat.sensors)
+        for d in range(n_dev):
+            view = d % n_views
+            fl = flat._replace(sensors=(_select_sensor(stacked, reso,
+                                                       jnp.int32(view)),))
+            img = integ.radiance_image(sc, fl, 0,
+                                       jax.random.fold_in(key, d), True)
+            diff = img - jnp.asarray(targets[view])
+            tot = tot + jnp.mean(diff * diff)
+        return tot / n_dev
+
+    loss_ref, g_ref = jax.jit(jax.value_and_grad(total_loss))(params0)
+    np.testing.assert_allclose(float(loss1), float(loss_ref), rtol=1e-5)
+    updates, _ = optimizer.update(g_ref, optimizer.init(params0), params0)
+    p_ref = optax.apply_updates(params0, updates)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4,
+            atol=5e-5 * (np.abs(np.asarray(b)).max() + 1e-9)),
+        p1, p_ref)
+
+    # deform the mesh and recover: loss must drop over a few steps
+    # (eps=1.0 puts the loss ~3.5x above the MC noise floor at this
+    # resolution; smaller offsets drown in sampling noise)
+    import psdr_tpu.testing.differential as dif
+    p_bad = dif.apply_perturbation("mesh_transform", sc.params(), 1.0,
+                                   mesh_index=0, direction=(1.0, 0.0, 0.0))
+    p, st = p_bad, opt_state
+    losses = []
+    for i in range(5):
+        p, st, l = step(p, st, jax.random.PRNGKey(10 + i))
+        losses.append(float(l))
+    assert min(losses[-2:]) < losses[0], losses
