@@ -318,15 +318,28 @@ def test_multiview_train_step_matches_serial():
         sc, sc.build(sc.params()), s, jax.random.PRNGKey(900 + s), False))
         for s in range(n_views)]
 
-    mesh = device_mesh(8)
-    n_dev = 8
-    # optimize only the deformed mesh's parameters (the recovery check
-    # below perturbs the mesh transform; a global-lr Adam on albedo +
-    # emitter + camera thrashes at this tiny scale)
+    mesh = device_mesh(4)  # 4 devices = 4 views; the serial emulation
+    n_dev = 4              # traces n_dev full renders, so keep it lean
+    # optimize only the deformed mesh's translation column (the recovery
+    # check below perturbs the transform; Adam's per-element
+    # normalization on the full 4x4 / vertices / albedo thrashes at this
+    # tiny scale — see examples/multiview_inverse.py)
     p0_l = sc.params()
-    mask = jax.tree.map(lambda _: False, p0_l)
-    mask["meshes"] = jax.tree.map(lambda _: True, p0_l["meshes"])
-    optimizer = optax.masked(optax.adam(5e-2), mask)
+    t_mask = np.zeros((4, 4), np.float32)
+    t_mask[0:3, 3] = 1.0
+    mask_tree = jax.tree.map(lambda a: jnp.zeros_like(a), p0_l)
+    mask_tree["meshes"][0]["to_world"] = jnp.asarray(t_mask)
+
+    def entrywise_mask(m_tree):
+        def init(params):
+            return optax.EmptyState()
+
+        def update(updates, state, params=None):
+            return jax.tree.map(lambda u, m: u * m, updates, m_tree), state
+
+        return optax.GradientTransformation(init, update)
+
+    optimizer = optax.chain(optax.adam(5e-2), entrywise_mask(mask_tree))
     step, opt_state = make_multiview_train_step(
         integ, sc, mesh, targets, optimizer=optimizer, with_boundary=True)
 
