@@ -34,12 +34,16 @@ Modes
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.custom_derivatives import linear_call
 
 _MODES = ("native", "scatter", "sorted", "cumsum")
-_default_mode = "native"
+# env override so benches / the driver can flip the default without code
+# edits (validated in set_gather_vjp_mode's caller path on first use)
+_default_mode = os.environ.get("PSDR_TPU_GATHER_VJP", "native")
 
 
 def set_gather_vjp_mode(mode: str) -> None:
