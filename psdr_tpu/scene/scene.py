@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -499,8 +501,16 @@ _BOUND_FACES = [
 
 # -- device-side scene queries (pure functions over FlatScene) ---------------
 
+# segmented-sort implementation: "argsort" (stable bitonic network) or
+# "counting" (one-hot running count — no compare-exchange network; the
+# 65-value key space makes a counting sort natural). Same (perm, inv)
+# either way (tests/test_render.py pins equality); flip after the
+# on-chip A/B (scripts/bench_gather.py seg-argsort vs counting-inv).
+_SORT_IMPL = os.environ.get("PSDR_TPU_SORT_IMPL", "argsort")
+
+
 def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15,
-                 want_inv: bool = True):
+                 want_inv: bool = True, impl: str | None = None):
     """Stable within-segment reorder by quantized direction: groups lanes
     into 64 direction bins (4x4x4 per-component quantization) inside
     32k-lane segments, trading some origin (pixel-tile) coherence for much
@@ -510,6 +520,7 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15,
     each segment, so sparse wavefronts (e.g. the emitter-first occlusion
     sweep) compact their active lanes into few ray blocks and the rest exit
     at the cull phase. Returns (permutation, inverse permutation)."""
+    impl = impl or _SORT_IMPL
     d = sg(ray.d)
     n = d.shape[0]
     s = seg if n % seg == 0 else 4096
@@ -520,8 +531,23 @@ def _octant_sort(ray: Ray, active: jax.Array, seg: int = 1 << 15,
     key = q[:, 0] * 16 + q[:, 1] * 4 + q[:, 2]
     key = jnp.where(sg(active), key, 64)
     keys = key.reshape(n // s, s)
-    local = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
     base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
+    if impl == "counting":
+        # stable counting sort over the 65 bins: each lane's sorted
+        # position = its bin's exclusive offset + its rank within the
+        # bin (running count). i16 suffices: ranks < 32768 = seg max
+        oh = jax.nn.one_hot(keys, 65, dtype=jnp.int16)
+        run = jnp.cumsum(oh, axis=1)
+        hist = run[:, -1, :].astype(jnp.int32)
+        offs = jnp.cumsum(hist, axis=1) - hist
+        rank = jnp.take_along_axis(run, keys[..., None],
+                                   axis=2)[..., 0].astype(jnp.int32) - 1
+        pos = jnp.take_along_axis(offs, keys, axis=1) + rank
+        inv = (pos + base).reshape(n)
+        perm = jnp.zeros((n,), jnp.int32).at[inv].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return perm, (inv if want_inv else None)
+    local = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
     perm = (local + base).reshape(n)
     if not want_inv:
         return perm, None

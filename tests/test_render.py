@@ -215,3 +215,24 @@ def test_stratified_bsdf_reduces_variance():
     tol = 2.0 * np.sqrt((v_s + v_i) / imgs[True].shape[0])
     assert np.abs(m_s - m_i).mean() < tol
     assert v_s < v_i, f"BSDF stratification did not help: {v_s:.3e} vs {v_i:.3e}"
+
+
+def test_octant_sort_counting_matches_argsort():
+    """The counting-sort implementation of the segmented direction sort
+    must produce exactly the stable-argsort (perm, inv)."""
+    import jax
+    import numpy as np
+    from psdr_tpu.core.records import Ray
+    from psdr_tpu.scene.scene import _octant_sort
+
+    n = 1 << 14
+    key = jax.random.PRNGKey(11)
+    d = jax.random.normal(key, (n, 3))
+    o = jnp.zeros((n, 3))
+    active = jax.random.uniform(jax.random.PRNGKey(12), (n,)) < 0.7
+    ray = Ray(o, d)
+    for seg in (1 << 12, 1 << 14):
+        p_a, i_a = _octant_sort(ray, active, seg=seg, impl="argsort")
+        p_c, i_c = _octant_sort(ray, active, seg=seg, impl="counting")
+        np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_c))
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_c))
