@@ -15,5 +15,6 @@ from .shape import primitives
 from .bsdf import Diffuse, RoughConductor
 from .emitter import AreaLight, EnvironmentMap
 from .sensor import PerspectiveCamera
+from . import opt
 from .integrator import (DirectIntegrator, FieldExtractionIntegrator,
                          PathTracer)
