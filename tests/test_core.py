@@ -343,3 +343,23 @@ def test_gather_rows_cumsum_backward_is_scatter_free():
 
     assert "scatter" in hlo("native")     # baseline really scatters
     assert "scatter" not in hlo("cumsum")
+
+
+def test_ld_sequence_elementary_intervals():
+    """The scrambled (0,2)-sequence must put exactly one point in every
+    dyadic a x b cell for all a*b = spp splits (the property that makes
+    sampler="sobol" strictly stronger than an a x b stratification)."""
+    from psdr_tpu.core.sampler import ld_2d
+
+    for spp in (4, 16, 64):
+        i = jnp.arange(spp)
+        for scr in ((0, 0), (0xDEADBEEF, 0x12345678)):
+            pts = np.asarray(ld_2d(i, jnp.uint32(scr[0]), jnp.uint32(scr[1])))
+            assert ((pts >= 0) & (pts < 1)).all()
+            a = 1
+            while a <= spp:
+                b = spp // a
+                cells = (np.floor(pts[:, 0] * a).astype(int) * b
+                         + np.floor(pts[:, 1] * b).astype(int))
+                assert len(set(cells.tolist())) == spp, (spp, scr, a)
+                a *= 2

@@ -93,7 +93,8 @@ def test_path_stratification_reduces_variance():
     imgs = {}
     for strat in (True, False):
         sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=1)
-        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        sc.opts = dataclasses.replace(
+            sc.opts, sampler="stratified", stratify_primary=strat)
         render = jax.jit(integ.render_fn(sc, with_boundary=False))
         params = sc.params()
         imgs[strat] = np.stack([

@@ -149,7 +149,8 @@ def test_stratified_primary_reduces_variance():
     imgs = {}
     for strat in (True, False):
         sc = sphere_light_scene(width=24, height=24, spp=16)
-        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        sc.opts = dataclasses.replace(
+            sc.opts, sampler="stratified", stratify_primary=strat)
         render = jax.jit(integ.render_fn(sc, with_boundary=False))
         params = sc.params()
         imgs[strat] = np.stack([
@@ -176,7 +177,8 @@ def test_stratified_nee_reduces_soft_shadow_variance():
     imgs = {}
     for strat in (True, False):
         sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=1)
-        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        sc.opts = dataclasses.replace(
+            sc.opts, sampler="stratified", stratify_primary=strat)
         render = jax.jit(integ.render_fn(sc, with_boundary=False))
         params = sc.params()
         imgs[strat] = np.stack([
@@ -201,7 +203,8 @@ def test_stratified_bsdf_reduces_variance():
     imgs = {}
     for strat in (True, False):
         sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=1)
-        sc.opts = dataclasses.replace(sc.opts, stratify_primary=strat)
+        sc.opts = dataclasses.replace(
+            sc.opts, sampler="stratified", stratify_primary=strat)
         render = jax.jit(integ.render_fn(sc, with_boundary=False))
         params = sc.params()
         imgs[strat] = np.stack([
@@ -236,3 +239,31 @@ def test_octant_sort_counting_matches_argsort():
         p_c, i_c = _octant_sort(ray, active, seg=seg, impl="counting")
         np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_c))
         np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_c))
+
+
+def test_sobol_sampler_beats_stratified():
+    """sampler="sobol" (scrambled (0,2)-sequence over subpixel + first
+    NEE/BSDF dims) must cut variance below the stratified sampler (5.5x
+    measured) with a consistent mean."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from scenes import cbox_scene
+    from psdr_tpu import DirectIntegrator
+
+    integ = DirectIntegrator(1, 1)
+    imgs = {}
+    for sampler in ("sobol", "stratified"):
+        sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=1)
+        sc.opts = dataclasses.replace(sc.opts, sampler=sampler)
+        render = jax.jit(integ.render_fn(sc, with_boundary=False))
+        params = sc.params()
+        imgs[sampler] = np.stack([
+            np.asarray(render(params, jax.random.PRNGKey(300 + s)))
+            for s in range(8)])
+    v_q = imgs["sobol"].var(0).mean()
+    v_s = imgs["stratified"].var(0).mean()
+    tol = 2.0 * np.sqrt((v_q + v_s) / 8)
+    assert np.abs(imgs["sobol"].mean(0)
+                  - imgs["stratified"].mean(0)).mean() < tol
+    assert v_q < 0.7 * v_s, f"sobol did not beat stratified: {v_q:.3e} vs {v_s:.3e}"
