@@ -33,20 +33,22 @@ def run(tag, args, timeout=5400):
 
 
 def main():
-    run("gather", ["scripts/bench_gather.py"])
-    run("emfirst", ["scripts/bench_emfirst_parts.py"])
-    for stage in ("cam", "nee", "full"):
-        run(f"stage-{stage}", ["scripts/bench_e2e_stages.py", stage])
-    run("remat-ab", ["scripts/bench_remat_ab.py"])
+    # Decision-relevant stages first (flag flips depend on them), anatomy
+    # probes last — if the round ends mid-sweep we still get the A/Bs.
     # backward gather-transpose strategy A/B (CLAUDE.md roadmap 2):
     # sorted/cumsum replace the (N,32)->(F,32) scatter-add with a
     # sort + vectorized reduction
     for mode in ("native", "sorted", "cumsum"):
         run(f"backward-gather-{mode}",
             ["scripts/bench_backward.py", mode])
-    run("renderD", ["scripts/bench_renderD.py"])
-    run("guiding-scale", ["scripts/bench_guiding_scale.py"])
+    run("gather", ["scripts/bench_gather.py"])
+    run("remat-ab", ["scripts/bench_remat_ab.py"])
     run("bench", ["bench.py"])
+    run("renderD", ["scripts/bench_renderD.py"])
+    run("emfirst", ["scripts/bench_emfirst_parts.py"])
+    for stage in ("cam", "nee", "full"):
+        run(f"stage-{stage}", ["scripts/bench_e2e_stages.py", stage])
+    run("guiding-scale", ["scripts/bench_guiding_scale.py"])
 
 
 if __name__ == "__main__":
