@@ -111,6 +111,13 @@ class Mesh:
     Differentiable parameters (returned by :meth:`params`):
       * ``vertex_positions`` — raw (object-space) positions, (V, 3)
       * ``to_world`` — 4x4 object-to-world matrix
+      * ``vertex_offset`` — optional (V,) scalar displacement along the raw
+        area-weighted vertex normals, applied *before* ``to_world``
+        (parity: the reference's ``PSDR_MESH_ENABLE_1D_VERTEX_OFFSET`` mode,
+        macros.h:12, mesh.h:71-81, mesh.cpp:226-229 — a compile-time flag
+        there, a per-mesh runtime flag here). One scalar per vertex instead
+        of three keeps normal-direction shape optimization from sliding
+        vertices tangentially.
     """
 
     def __init__(self, vertices: np.ndarray, faces: np.ndarray,
@@ -118,6 +125,7 @@ class Mesh:
                  uv_idx: Optional[np.ndarray] = None,
                  use_face_normals: bool = False,
                  enable_edges: bool = True,
+                 enable_vertex_offset: bool = False,
                  bsdf_id: int = -1, emitter_id: int = -1,
                  mesh_id: str = ""):
         self.vertices = np.ascontiguousarray(vertices, np.float32)
@@ -140,6 +148,9 @@ class Mesh:
         # they cross a jit boundary (eager device_put costs seconds through
         # a remote-TPU tunnel)
         self.vertex_positions = self.vertices
+        self.enable_vertex_offset = bool(enable_vertex_offset)
+        self.vertex_offset = (np.zeros((self.num_vertices,), np.float32)
+                              if self.enable_vertex_offset else None)
         self.to_world = np.eye(4, dtype=np.float32)
         # static outer factors, for append_transform-style composition
         # (mesh.h:19-35: to_world = left * raw * right)
@@ -148,12 +159,17 @@ class Mesh:
 
     # -- parameter-pytree plumbing ------------------------------------------
     def params(self) -> dict:
-        return {"vertex_positions": self.vertex_positions,
-                "to_world": self.to_world}
+        p = {"vertex_positions": self.vertex_positions,
+             "to_world": self.to_world}
+        if self.enable_vertex_offset:
+            p["vertex_offset"] = self.vertex_offset
+        return p
 
     def set_params(self, p: dict) -> None:
         self.vertex_positions = p["vertex_positions"]
         self.to_world = p["to_world"]
+        if self.enable_vertex_offset and "vertex_offset" in p:
+            self.vertex_offset = p["vertex_offset"]
 
     def set_transform(self, mat) -> None:
         self.to_world = np.asarray(mat, np.float32)
@@ -163,12 +179,39 @@ class Mesh:
 
     def world_positions(self, params: dict) -> jax.Array:
         m = self.to_world_left @ params["to_world"] @ self.to_world_right
-        return xform.transform_pos(m, params["vertex_positions"])
+        vp = params["vertex_positions"]
+        off = params.get("vertex_offset")
+        if off is not None:
+            # 1D vertex-offset mode (mesh.cpp:226-229): displace raw
+            # positions along the *raw* area-weighted vertex normals before
+            # the world transform. Normals are a differentiable function of
+            # the raw positions, exactly as in the reference.
+            _, vn = compute_triangle_info(vp, self.faces, self.num_vertices)
+            vp = vp + off[:, None] * vn
+        return xform.transform_pos(m, vp)
+
+    def shift_vertices(self) -> None:
+        """Bake the current (detached) offset into the raw positions and
+        reset it to zero (mesh.cpp:346-351 Mesh::shift_vertices) — call
+        between optimization epochs to re-anchor the offset parameterization.
+        """
+        if not self.enable_vertex_offset:
+            return
+        vp = np.asarray(self.vertex_positions, np.float32)
+        off = np.asarray(self.vertex_offset, np.float32)
+        self.vertex_positions = vp + off[:, None] * _vertex_normals_np(
+            vp, self.faces)
+        self.vertex_offset = np.zeros((self.num_vertices,), np.float32)
 
     # -- IO ------------------------------------------------------------------
     def dump(self, fname: str) -> None:
-        """Write current raw geometry back to OBJ (mesh.cpp:354-418)."""
-        vp = np.asarray(self.vertex_positions)
+        """Write current raw geometry back to OBJ (mesh.cpp:354-418); any
+        pending vertex offset is baked into the written positions
+        (mesh.cpp:356-359)."""
+        vp = np.asarray(self.vertex_positions, np.float32)
+        if self.enable_vertex_offset:
+            off = np.asarray(self.vertex_offset, np.float32)
+            vp = vp + off[:, None] * _vertex_normals_np(vp, self.faces)
         with open(fname, "w") as f:
             for i in range(self.num_vertices):
                 f.write("v %.6e %.6e %.6e\n" % (vp[i, 0], vp[i, 1], vp[i, 2]))
@@ -186,6 +229,21 @@ class Mesh:
     def __repr__(self):
         return (f"Mesh[nv={self.num_vertices}, nf={self.num_faces}"
                 + (f", id={self.id}" if self.id else "") + "]")
+
+
+def _vertex_normals_np(vp: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Host-side area-weighted vertex normals (numpy twin of
+    :func:`compute_triangle_info`'s normal pass, for offset baking)."""
+    p0, p1, p2 = vp[faces[:, 0]], vp[faces[:, 1]], vp[faces[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    fa = np.linalg.norm(fn, axis=-1)
+    vn = np.zeros_like(vp)
+    vw = np.zeros((vp.shape[0],), vp.dtype)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+        np.add.at(vw, faces[:, i], fa)
+    vn = vn / np.maximum(vw, 1e-20)[:, None]
+    return vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
 
 
 def build_edges(faces: np.ndarray) -> np.ndarray:

@@ -73,7 +73,7 @@ def test_light_radiance_gradient():
     assert np.abs(ad).max() > 1e-3
 
 
-def _floor_light_scene(width=16, height=16, spp=16):
+def _floor_light_scene(width=16, height=16, spp=16, offset_light=False):
     """Floor + overhead light, nothing occluding and the light outside the
     camera frustum: the image is a *smooth* function of a light translation,
     so interior-only AD must match FD (no boundary term exists)."""
@@ -90,7 +90,8 @@ def _floor_light_scene(width=16, height=16, spp=16):
     sc.add_mesh(floor)
 
     light = primitives.make_quad(size=1.0, bsdf_id=-1, enable_edges=False,
-                                 use_face_normals=True)
+                                 use_face_normals=True,
+                                 enable_vertex_offset=offset_light)
     light.set_transform(np.asarray(
         xf.translate([0.0, 3.0, 0.0]) @ xf.rotate([1, 0, 0], 90.0)))
     li = sc.add_mesh(light)
@@ -146,3 +147,37 @@ def test_light_vertical_translation_gradient():
     rel = np.abs(ad - fd).max() / denom
     assert rel < 0.05, f"relative error {rel}"
     assert np.abs(ad).max() > 1e-4
+
+
+def test_vertex_offset_gradient():
+    """1D vertex-offset mode (reference PSDR_MESH_ENABLE_1D_VERTEX_OFFSET,
+    mesh.cpp:226-229): AD through a uniform offset along the light quad's
+    vertex normals matches FD. The quad's normals are its plane normal, so
+    this is a vertical light translation expressed through the offset leaf.
+    """
+    sc = _floor_light_scene(width=12, height=12, spp=16, offset_light=True)
+    integ = DirectIntegrator(0, 1)
+
+    def perturb(params, P):
+        mp = params["meshes"][1]
+        params["meshes"][1] = dict(mp, vertex_offset=mp["vertex_offset"] + P)
+        return params
+
+    ad, fd = ad_vs_fd(sc, perturb, integ, eps=1e-2)
+    denom = np.abs(fd).max() + 1e-6
+    rel = np.abs(ad - fd).max() / denom
+    assert rel < 0.05, f"relative error {rel}"
+    assert np.abs(ad).max() > 1e-4
+
+
+def test_vertex_offset_shift_bake():
+    """shift_vertices (mesh.cpp:346-351) bakes the offset into raw positions
+    without moving the world-space geometry, and resets the offset leaf."""
+    sc = _floor_light_scene(offset_light=True)
+    mesh = sc.meshes[1]
+    mesh.vertex_offset = np.full((mesh.num_vertices,), 0.25, np.float32)
+    before = np.asarray(mesh.world_positions(mesh.params()))
+    mesh.shift_vertices()
+    assert np.all(np.asarray(mesh.vertex_offset) == 0.0)
+    after = np.asarray(mesh.world_positions(mesh.params()))
+    np.testing.assert_allclose(before, after, rtol=1e-5, atol=1e-6)
