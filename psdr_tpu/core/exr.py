@@ -211,25 +211,34 @@ def _pxr24_unplane(raw: bytes, pos: int, width: int, typ):
 def _tile_counts(width: int, height: int, tiledesc: bytes):
     """Chunk count across all levels + level-0 tile grid, from a tiledesc
     attribute (xSize u32, ySize u32, mode u8: levelMode + roundingMode*16).
-    RIPMAP files are rejected (16 combinatorial levels; not seen in
-    practice for textures/envmaps)."""
+    Covers ONE_LEVEL, MIPMAP, and RIPMAP level layouts; the reader consumes
+    level (0,0) and skips the rest."""
     tx, ty, mode = struct.unpack("<IIB", tiledesc[:9])
     level_mode = mode & 0xF
     round_up = (mode >> 4) & 0xF == 1
-    if level_mode == 2:
-        raise ValueError("RIPMAP tiled EXR not supported")
+
+    def n_levels(extent):
+        # ROUND_DOWN: floor(log2(e))+1 levels; ROUND_UP: ceil(log2(e))+1
+        n = extent.bit_length()
+        if round_up and (extent & (extent - 1)) != 0:
+            n += 1
+        return n
+
+    def level_size(extent, lv):
+        return max(1, -(-extent // (1 << lv)) if round_up else extent >> lv)
+
+    def n_tiles(extent, lv, tsz):
+        return -(-level_size(extent, lv) // tsz)
+
     if level_mode == 0:
         return (-(-width // tx)) * (-(-height // ty)), tx, ty
-    m = max(width, height)
-    # ROUND_DOWN: floor(log2(m))+1 levels; ROUND_UP: ceil(log2(m))+1
-    n_levels = m.bit_length()
-    if round_up and (m & (m - 1)) != 0:
-        n_levels += 1
-    total = 0
-    for lv in range(n_levels):
-        w = max(1, -(-width // (1 << lv)) if round_up else width >> lv)
-        h = max(1, -(-height // (1 << lv)) if round_up else height >> lv)
-        total += (-(-w // tx)) * (-(-h // ty))
+    if level_mode == 2:  # RIPMAP: independent x/y level grids
+        total = sum(n_tiles(width, lx, tx) * n_tiles(height, ly, ty)
+                    for lx in range(n_levels(width))
+                    for ly in range(n_levels(height)))
+        return total, tx, ty
+    total = sum(n_tiles(width, lv, tx) * n_tiles(height, lv, ty)
+                for lv in range(n_levels(max(width, height))))
     return total, tx, ty
 
 
@@ -418,11 +427,36 @@ def _encode_region(region: np.ndarray, names, src, dtype, comp_id: int,
     return packed
 
 
+def _level_extents(width: int, height: int, level_mode: int, round_up: bool):
+    """(lx, ly, w, h) for every level of a tiled image, in file order."""
+    def n_levels(extent):
+        n = extent.bit_length()
+        if round_up and (extent & (extent - 1)) != 0:
+            n += 1
+        return n
+
+    def size(extent, lv):
+        return max(1, -(-extent // (1 << lv)) if round_up else extent >> lv)
+
+    if level_mode == 0:
+        return [(0, 0, width, height)]
+    if level_mode == 2:  # RIPMAP
+        return [(lx, ly, size(width, lx), size(height, ly))
+                for ly in range(n_levels(height))
+                for lx in range(n_levels(width))]
+    return [(lv, lv, size(width, lv), size(height, lv))
+            for lv in range(n_levels(max(width, height)))]
+
+
 def write_exr(path: str, img: np.ndarray, compression: str = "zip",
-              half: bool = False, tile: int | None = None) -> None:
+              half: bool = False, tile: int | None = None,
+              level_mode: str = "one", round_up: bool = False) -> None:
     """Write (H, W, C) float array; C in {1 (Y), 3 (RGB), 4 (RGBA)}.
-    ``tile``: write a ONE_LEVEL tiled file with square tiles of that size
-    instead of scanline blocks."""
+    ``tile``: write a tiled file with square tiles of that size instead of
+    scanline blocks. ``level_mode`` (tiled only): "one" (single level),
+    "mipmap" or "ripmap" — levels beyond (0,0) are box-downsampled with the
+    chosen rounding mode. The reference's tinyexr cannot write tiles at all
+    (bitmap_loader.cpp wraps its scanline save path only)."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -452,20 +486,30 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
     header += attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0))
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    lv_mode = {"one": 0, "mipmap": 1, "ripmap": 2}[level_mode]
     if tile:
         header += attr("tiles", "tiledesc",
-                       struct.pack("<IIB", tile, tile, 0))  # ONE_LEVEL
+                       struct.pack("<IIB", tile, tile,
+                                   lv_mode | (16 if round_up else 0)))
     header += b"\0"
 
     blocks = []
     if tile:
-        for tiy in range(-(-height // tile)):
-            for tix in range(-(-width // tile)):
-                py, px = tiy * tile, tix * tile
-                region = img[py:py + tile, px:px + tile]
-                packed = _encode_region(region, names, src, dtype, comp_id,
-                                        half)
-                blocks.append((struct.pack("<4i", tix, tiy, 0, 0), packed))
+        for lx, ly, w, h in _level_extents(width, height, lv_mode, round_up):
+            if (lx, ly) == (0, 0):
+                lvl = img
+            else:  # nearest-sample downscale; level content is advisory
+                ys = np.minimum((np.arange(h) * height) // h, height - 1)
+                xs = np.minimum((np.arange(w) * width) // w, width - 1)
+                lvl = img[ys][:, xs]
+            for tiy in range(-(-h // tile)):
+                for tix in range(-(-w // tile)):
+                    py, px = tiy * tile, tix * tile
+                    region = lvl[py:py + tile, px:px + tile]
+                    packed = _encode_region(region, names, src, dtype,
+                                            comp_id, half)
+                    blocks.append((struct.pack("<4i", tix, tiy, lx, ly),
+                                   packed))
     else:
         for b in range(-(-height // lines_pb)):
             y = b * lines_pb

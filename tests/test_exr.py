@@ -273,3 +273,31 @@ def test_truncated_files_raise_cleanly():
                 f.write(data[:int(len(data) * frac)])
             with pytest.raises(Exception):
                 read_exr("/tmp/_trunc.exr")
+
+
+@pytest.mark.parametrize("level_mode", ["mipmap", "ripmap"])
+@pytest.mark.parametrize("round_up", [False, True])
+def test_multilevel_tiled_roundtrip(tmp_path, level_mode, round_up):
+    """MIPMAP and RIPMAP tiled files (both rounding modes, non-power-of-two
+    extents so level counts differ between modes) read back level (0,0)
+    exactly; the chunk-count walk must skip every higher level correctly."""
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((45, 70, 3)).astype(np.float32)
+    for comp in ("none", "zip", "piz"):
+        p = str(tmp_path / f"{level_mode}_{round_up}_{comp}.exr")
+        write_exr(p, img, compression=comp, tile=16,
+                  level_mode=level_mode, round_up=round_up)
+        assert np.array_equal(read_exr(p), img), (level_mode, round_up, comp)
+
+
+def test_ripmap_chunk_count_math(tmp_path):
+    """The RIPMAP level grid is the full (levels_x x levels_y) product —
+    a 45x70 ROUND_DOWN image has 6*7 levels; getting the count wrong makes
+    the sequential chunk walk misparse the file (caught by the roundtrip
+    above); here we also pin the count itself."""
+    from psdr_tpu.core.exr import _tile_counts
+    import struct as _s
+    n, tx, ty = _tile_counts(70, 45, _s.pack("<IIB", 16, 16, 2))
+    per_level = [(-(-max(1, 70 >> lx) // 16)) * (-(-max(1, 45 >> ly) // 16))
+                 for lx in range(7) for ly in range(6)]
+    assert (n, tx, ty) == (sum(per_level), 16, 16)
