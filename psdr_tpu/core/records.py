@@ -119,9 +119,19 @@ class RenderOptions:
     # 42x by TPU layout assignment.
     pass_lanes: int = 1 << 21
     # checkpoint each pass chunk: the backward recomputes the chunk forward
-    # instead of spilling its residual intermediates to HBM (memory + HBM
-    # bandwidth for compute, usually a win for wavefront renderers)
-    remat_passes: bool = True
+    # instead of spilling its residual intermediates to HBM. Measured on
+    # v5e (scripts/bench_remat_ab.py): recompute LOSES 64% at 4.2M lanes —
+    # the chip has HBM bandwidth to spare for residual spills, so "auto"
+    # remats only wavefronts too big for residuals to fit (> remat_lanes).
+    # True/False force it.
+    remat_passes: bool | str = "auto"
+    # lane count above which "auto" starts checkpointing pass chunks
+    remat_lanes: int = 1 << 23
+
+    def resolve_remat(self, count: int) -> bool:
+        if self.remat_passes == "auto":
+            return count > self.remat_lanes
+        return bool(self.remat_passes)
     # stratify the subpixel jitter over an a x b grid when spp factorizes
     # (beyond-reference; the reference samples subpixels independently);
     # also stratifies the first NEE and first BSDF sample per pixel with

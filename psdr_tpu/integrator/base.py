@@ -199,7 +199,7 @@ class Integrator:
                 value, _ = lane_values(lane, key_c)
                 return value.reshape(ppc, spp, 3).sum(axis=1)
 
-            if opts.remat_passes:
+            if opts.resolve_remat(count):
                 # see scan_lane_chunks: trade backward residual IO for a
                 # forward recompute of each pass chunk
                 chunk_block = jax.checkpoint(chunk_block)
@@ -235,7 +235,7 @@ class Integrator:
 
         img = scan_lane_chunks(run_lanes, n, num_pixels, key, opts.pass_lanes,
                                shard and shard_lane_range(n, shard),
-                               remat=opts.remat_passes)
+                               remat=opts.resolve_remat(count))
         return img / spp
 
     # -- primary boundary ------------------------------------------------------
@@ -275,10 +275,11 @@ class Integrator:
             return accumulate_image(value, jnp.where(valid, pes.idx, -1),
                                     num_pixels)
 
+        lane_range = shard and shard_lane_range(n, shard)
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes,
-                                shard and shard_lane_range(n, shard),
-                                remat=opts.remat_passes)
+                                opts.pass_lanes, lane_range,
+                                remat=opts.resolve_remat(
+                                    n if lane_range is None else lane_range[1]))
 
     # -- secondary boundary: overridden by integrators that support it ---------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,

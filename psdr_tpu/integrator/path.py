@@ -260,10 +260,11 @@ class PathTracer(Integrator):
                     jnp.where(lane < n, pix, -1), num_pixels)
             return img
 
+        lane_range = shard and shard_lane_range(n, shard)
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes,
-                                shard and shard_lane_range(n, shard),
-                                remat=opts.remat_passes)
+                                opts.pass_lanes, lane_range,
+                                remat=opts.resolve_remat(
+                                    n if lane_range is None else lane_range[1]))
 
     def eval_secondary_edge_camera(self, scene: Scene, flat: FlatScene,
                                    sensor_id: int, sample3: jax.Array,
@@ -467,10 +468,11 @@ class PathTracer(Integrator):
                 jnp.where(lane < n, pix, -1), num_pixels)
 
         from .base import shard_lane_range
+        lane_range = shard and shard_lane_range(n, shard)
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes,
-                                shard and shard_lane_range(n, shard),
-                                remat=opts.remat_passes)
+                                opts.pass_lanes, lane_range,
+                                remat=opts.resolve_remat(
+                                    n if lane_range is None else lane_range[1]))
 
     def eval_secondary_edge_indirect(self, scene: Scene, flat: FlatScene,
                                      sensor_id: int, sample3: jax.Array,

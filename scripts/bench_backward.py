@@ -42,13 +42,13 @@ def main():
         return jax.value_and_grad(loss)(params)
 
     out = step(params, jax.random.PRNGKey(0))
-    jax.block_until_ready(out[0])
+    jax.block_until_ready(out)
 
     n_iter = 3
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = step(params, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out[0])
+        jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
 
     samples = width * height * spp
