@@ -416,54 +416,67 @@ def _culled2_kernel(rays_ref, boxes_ref, subboxes_ref, tris_hbm,
             t_hi = jnp.where(straddles, big, t_hi)
             tn_lo = jnp.maximum(tn_lo, t_lo)
             tf_hi = jnp.minimum(tf_hi, t_hi)
-        hitm = (tn_lo <= tf_hi) & (boxes_ref[6:7, s] > 0.0) & any_active
+        hitm = (tn_lo <= tf_hi) & (boxes_ref[6:7, s] > 0.0)
         occ_v[0:1, s] = hitm.astype(jnp.float32)
         if NB > 1:
             tn_v[0:1, s] = jnp.maximum(tn_lo, 0.0)
         return 0
 
-    jax.lax.fori_loop(0, b_pad // cull_chunk, cull_chunk_body, 0)
+    # Fully-inactive ray blocks (common in sparse sorted queries — the
+    # emitter-first occlusion sweep activates ~1% of lanes) skip the cull,
+    # bucketing, SMEM copies, and prefix matmul entirely; ``count`` is
+    # forced to 0 below so phase C never reads the stale scratch.
+    @pl.when(any_active)
+    def _():
+        jax.lax.fori_loop(0, b_pad // cull_chunk, cull_chunk_body, 0)
 
-    if NB > 1:
-        # --- phase A2: front-to-back distance bucketing --------------------
-        # Bucket candidates by the interval cull's conservative entry
-        # distance so near blocks stream first: early close hits shrink
-        # each lane's best t and the per-lane refine then skips far tiles.
-        occ0 = occ_v[0:1, :]
-        tnr = tn_v[0:1, :]
-        tn_min = jnp.min(jnp.where(occ0 > 0.0, tnr, big))
-        tn_max = jnp.max(jnp.where(occ0 > 0.0, tnr, -big))
-        scale = NB / jnp.maximum(tn_max - tn_min, 1e-20)
-        bkt = jnp.clip(jnp.floor((tnr - tn_min) * scale), 0, NB - 1)
-        for k in range(NB):
-            occ_v[k:k + 1, :] = occ0 * (bkt == k).astype(jnp.float32)
-    # boxes to SMEM for scalar per-block reads in the phase-C lane refine
-    bcp = pltpu.make_async_copy(boxes_ref, boxes_smem, bsem)
-    bcp.start()
-    if sub_split > 1:
-        scp = pltpu.make_async_copy(subboxes_ref, subboxes_smem, ssem)
-        scp.start()
+        if NB > 1:
+            # --- phase A2: front-to-back distance bucketing ----------------
+            # Bucket candidates by the interval cull's conservative entry
+            # distance so near blocks stream first: early close hits shrink
+            # each lane's best t and the per-lane refine then skips far
+            # tiles.
+            occ0 = occ_v[0:1, :]
+            tnr = tn_v[0:1, :]
+            tn_min = jnp.min(jnp.where(occ0 > 0.0, tnr, big))
+            tn_max = jnp.max(jnp.where(occ0 > 0.0, tnr, -big))
+            scale = NB / jnp.maximum(tn_max - tn_min, 1e-20)
+            bkt = jnp.clip(jnp.floor((tnr - tn_min) * scale), 0, NB - 1)
+            for k in range(NB):
+                occ_v[k:k + 1, :] = occ0 * (bkt == k).astype(jnp.float32)
+        # boxes to SMEM for scalar per-block reads in the phase-C lane
+        # refine
+        bcp = pltpu.make_async_copy(boxes_ref, boxes_smem, bsem)
+        bcp.start()
+        if sub_split > 1:
+            scp = pltpu.make_async_copy(subboxes_ref, subboxes_smem, ssem)
+            scp.start()
 
-    # --- phase B: prefix-sum compaction (MXU) -----------------------------
-    # inclusive prefix of the occupancy row via a lower-triangular ones
-    # matmul: prefix[k] = sum_{j<=k} occ[j]; the pos-th occupied block id
-    # is then recovered in the stream loop with a binary search over the
-    # SMEM prefix (log2(B) scalar reads, vs a B-iteration scalar scan)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 1)
-    lower_tri = (rows <= cols).astype(jnp.float32)
-    occ_v[:, :] = jax.lax.dot_general(
-        occ_v[:, :], lower_tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    cp = pltpu.make_async_copy(occ_v, occ_smem, osem)
-    cp.start()
-    cp.wait()
-    bcp.wait()
-    if sub_split > 1:
-        scp.wait()
+        # --- phase B: prefix-sum compaction (MXU) --------------------------
+        # inclusive prefix of the occupancy row via a lower-triangular ones
+        # matmul: prefix[k] = sum_{j<=k} occ[j]; the pos-th occupied block
+        # id is then recovered in the stream loop with a binary search over
+        # the SMEM prefix (log2(B) scalar reads, vs a B-iteration scalar
+        # scan)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b_pad, b_pad), 1)
+        lower_tri = (rows <= cols).astype(jnp.float32)
+        occ_v[:, :] = jax.lax.dot_general(
+            occ_v[:, :], lower_tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cp = pltpu.make_async_copy(occ_v, occ_smem, osem)
+        cp.start()
+        cp.wait()
+        bcp.wait()
+        if sub_split > 1:
+            scp.wait()
+
     count = occ_smem[0, b_pad - 1].astype(jnp.int32)
     for k in range(1, NB):
         count = count + occ_smem[k, b_pad - 1].astype(jnp.int32)
+    # stale-scratch guard: scratch persists across grid steps, so a block
+    # skipped above may see the previous block's prefix sums
+    count = jnp.where(any_active, count, jnp.int32(0))
     if debug_counters:
         out_ref[5, :] = out_ref[5, :] + count.astype(jnp.float32)
 

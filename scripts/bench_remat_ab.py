@@ -11,8 +11,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WIDTH = HEIGHT = 512
-SPP = 16
+WIDTH = HEIGHT = int(os.environ.get("PSDR_BENCH_RES", 512))
+SPP = int(os.environ.get("PSDR_BENCH_SPP", 16))
 
 
 def child(remat: bool) -> None:

@@ -273,3 +273,34 @@ def test_refit_quality_trigger_recovers_cull_efficiency():
     assert q_after < 1.1, f"rebuild should restore quality, got {q_after}"
     # untriggered when already good
     assert not sc.maybe_rebuild_accel(params, threshold=1.3)
+
+def test_pallas_culled2_inactive_blocks_skipped():
+    """Ray blocks with no active lane skip the in-kernel cull entirely
+    (count forced to 0); results for every lane — active, inactive, and in
+    fully-dead blocks — must still match brute force. Uses a small
+    ray_block so several whole blocks are inactive (the emitter-first
+    occlusion sweep's shape: ~1% active, sorted active-first)."""
+    from psdr_tpu.accel.bvh import build_bvh_topology, refit_bvh
+    from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled2
+
+    p0, e1, e2 = _random_soup(1024, seed=21)
+    o, d = _random_rays(1024, seed=22)
+    topo = build_bvh_topology(p0, e1, e2, leaf_size=4)
+    bvh = refit_bvh(topo, jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2))
+    for act_np in (np.arange(1024) < 20,           # blocks 1..7 fully dead
+                   np.zeros(1024, bool),           # every block dead
+                   (np.arange(1024) // 128) == 3):  # one interior block live
+        act = jnp.asarray(act_np)
+        hb = ray_intersect_brute(jnp.asarray(p0), jnp.asarray(e1),
+                                 jnp.asarray(e2), o, d, act)
+        hp = ray_intersect_pallas_culled2(bvh, o, d, act, ray_block=128,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.valid),
+                                      np.asarray(hp.valid))
+        same = np.asarray(hb.tri_id) == np.asarray(hp.tri_id)
+        tie = np.isclose(np.asarray(hb.t), np.asarray(hp.t), rtol=1e-5)
+        assert np.all(same | tie | ~act_np)
+        ha = ray_intersect_pallas_culled2(bvh, o, d, act, ray_block=128,
+                                          any_hit=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.valid),
+                                      np.asarray(ha.valid))
