@@ -53,7 +53,7 @@ def bench(fn, *args, iters=5):
 
 _NPZ = "/tmp/emfirst_inputs.npz"
 PROBES = ("em-brute", "occl-sorted", "occl-unsorted", "recompute",
-          "emfirst-full", "cam+sample")
+          "emfirst-full", "cam+sample", "occl-machinery", "occl-kernel")
 
 
 def orchestrate():
@@ -162,6 +162,33 @@ def main():
         its, bs = gen(flat, key)
         return bs.wo.sum() + bs.pdf.sum()
 
+    @jax.jit
+    def p_occl_machinery(o, d, valid_e, t_e):
+        """The occl-sorted path minus the kernel: octant sort keys + packed
+        permute row gather + the result scatter — bounds the non-kernel
+        share of the 51ms occlusion sweep."""
+        from psdr_tpu.scene.scene import _octant_sort
+        flat = scene.build(params)
+        tmax = sg(t_e)
+        ray2 = Ray(o, d)
+        perm, _ = _octant_sort(ray2, valid_e, want_inv=False)
+        packed = jnp.concatenate(
+            [sg(o), sg(d), valid_e.astype(jnp.float32)[:, None],
+             tmax[:, None]], axis=1)[perm]
+        fake_valid = packed[:, 6] > 0.5
+        return jnp.zeros(perm.shape, bool).at[perm].set(fake_valid).sum()
+
+    @jax.jit
+    def p_occl_kernel(o, d, valid_e, t_e):
+        """The culled2 any-hit kernel alone on unsorted lanes (sparse
+        actives in place): kernel share without permute machinery."""
+        from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled2
+        flat = scene.build(params)
+        hit = ray_intersect_pallas_culled2(
+            flat.accel, sg(o), sg(d), valid_e, tmax=sg(t_e), any_hit=True,
+            ray_block=1024, sub_split=4, front_to_back=False)
+        return hit.valid.sum()
+
     probes = {
         "em-brute": (p_brute, (o, d, act)),
         "occl-sorted": (p_occl_sorted, (o, d, valid_e, t_e)),
@@ -169,6 +196,8 @@ def main():
         "recompute": (p_recompute, (o, d, act, valid_e, t_e)),
         "emfirst-full": (p_emfirst, (o, d, act)),
         "cam+sample": (p_sample, (jax.random.PRNGKey(1),)),
+        "occl-machinery": (p_occl_machinery, (o, d, valid_e, t_e)),
+        "occl-kernel": (p_occl_kernel, (o, d, valid_e, t_e)),
     }
     which = [a for a in sys.argv[1:] if a in probes]
     fn, args = probes[which[0]]
