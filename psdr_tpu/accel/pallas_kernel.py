@@ -691,6 +691,11 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
     (not necessarily the closest) and exits early — for occlusion queries.
     ``debug_counters=True`` additionally returns per-ray-block (MT tiles
     executed, candidate blocks) counts for occupancy/roofline analysis."""
+    # Mosaic kernels only lower on TPU; run interpreted on the CPU backend
+    # so the scene-level "pallas" dispatch (and its tests) work there.
+    # Checked against "cpu", NOT "== tpu": the tunneled chip registers as
+    # the experimental "axon" platform.
+    interpret = interpret or jax.default_backend() == "cpu"
     sg = jax.lax.stop_gradient
     ray_o, ray_d = sg(ray_o), sg(ray_d)
     n_rays = ray_o.shape[0]

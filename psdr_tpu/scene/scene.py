@@ -626,16 +626,75 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
 
 
 def ray_test(flat: FlatScene, ray: Ray, dist: jax.Array,
-             active: jax.Array, sort_rays: bool = False) -> jax.Array:
+             active: jax.Array, sort_rays: bool = False,
+             sparse: bool = False) -> jax.Array:
     """Occlusion query: True where some surface lies strictly closer than
     ``dist - ShadowEpsilon``. The tmax bound lets the block-culled backends
     prune every triangle block beyond the light — cheaper than the
-    closest-hit + distance-compare the reference uses."""
+    closest-hit + distance-compare the reference uses.
+
+    ``sparse=True``: expect few active lanes (the emitter-first occlusion
+    sweep runs at ~1% — only bounce rays that reach an emitter need the
+    test) and run the kernel on a compacted 1/8-size wavefront when every
+    sort segment's active count fits; an exact ``lax.cond`` falls back to
+    the full sorted sweep when it doesn't. The full-size path spends 64%
+    of its time permuting/scattering full-width arrays around a mostly-
+    dead kernel (BASELINE.md round-3 occl-machinery probe)."""
     from ..core.constants import ShadowEpsilon
     tmax = sg(dist) - ShadowEpsilon
+    if sparse and flat.accel is not None and flat.accel_kind == "pallas":
+        occ = _ray_test_sparse(flat, ray, tmax, active)
+        if occ is not None:
+            return occ & active
     occ = _closest_hit(flat, ray, active, tmax=tmax, any_hit=True,
                        sort_rays=sort_rays, test_only=True)
     return occ & active
+
+
+def _ray_test_sparse(flat: FlatScene, ray: Ray, tmax: jax.Array,
+                     active: jax.Array, frac_shift: int = 3,
+                     seg: int = 1 << 15):
+    """Compacted any-hit: segment-sort lanes by (active, octant), keep the
+    first ``s >> frac_shift`` of each segment (a static strided slice — the
+    sort puts active lanes there whenever the segment's active count fits),
+    run the kernel on that 2^-frac_shift-size wavefront, scatter the bools
+    back. Exactness is preserved by a ``lax.cond`` to the full sorted sweep
+    when any segment overflows its slice. Returns None when the lane count
+    doesn't factor into sort segments (caller falls back)."""
+    n = ray.d.shape[0]
+    s = seg if n % seg == 0 else 4096
+    s = min(s, n)
+    ks = s >> frac_shift
+    if n % s != 0 or ks < 128:
+        return None
+    d = sg(ray.d)
+    q = jnp.clip(((d + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    key = q[:, 0] * 16 + q[:, 1] * 4 + q[:, 2]
+    key = jnp.where(sg(active), key, 64)
+    local = jnp.argsort(key.reshape(n // s, s), axis=1,
+                        stable=True)[:, :ks].astype(jnp.int32)
+    base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
+    perm_k = (local + base).reshape(-1)
+    counts = active.reshape(n // s, s).sum(axis=1)
+    fits = jnp.max(counts) <= ks
+
+    def sparse_path(_):
+        packed = jnp.concatenate(
+            [sg(ray.o), d, active.astype(jnp.float32)[:, None],
+             sg(tmax)[:, None]], axis=1)[perm_k]
+        q_act = packed[:, 6] > 0.5
+        from ..accel.pallas_kernel import ray_intersect_pallas_culled2
+        hit = ray_intersect_pallas_culled2(
+            flat.accel, packed[:, 0:3], packed[:, 3:6], q_act,
+            tmax=packed[:, 7], any_hit=True, ray_block=1024, sub_split=4,
+            front_to_back=False)
+        return jnp.zeros((n,), bool).at[perm_k].set(hit.valid & q_act)
+
+    def dense_path(_):
+        return _closest_hit(flat, ray, active, tmax=tmax, any_hit=True,
+                            sort_rays=True, test_only=True)
+
+    return jax.lax.cond(fits, sparse_path, dense_path, None)
 
 
 def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
@@ -659,7 +718,7 @@ def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
                                 flat.tri.e2[idxs], ray.o, ray.d, active)
     valid_e = hit_e.valid & active
     occluded = ray_test(flat, ray, jnp.where(valid_e, hit_e.t, 0.0),
-                        valid_e, sort_rays=sort_rays)
+                        valid_e, sort_rays=sort_rays, sparse=True)
     valid = valid_e & ~occluded
     hit = hit_e._replace(
         valid=valid,

@@ -133,6 +133,12 @@ def main():
         return ray_test(flat, Ray(o, d), t_e, valid_e, sort_rays=True).sum()
 
     @jax.jit
+    def p_occl_sparse(o, d, valid_e, t_e):
+        flat = scene.build(params)
+        return ray_test(flat, Ray(o, d), t_e, valid_e, sort_rays=True,
+                        sparse=True).sum()
+
+    @jax.jit
     def p_occl_unsorted(o, d, valid_e, t_e):
         flat = scene.build(params)
         return ray_test(flat, Ray(o, d), t_e, valid_e, sort_rays=False).sum()
@@ -198,6 +204,7 @@ def main():
         "cam+sample": (p_sample, (jax.random.PRNGKey(1),)),
         "occl-machinery": (p_occl_machinery, (o, d, valid_e, t_e)),
         "occl-kernel": (p_occl_kernel, (o, d, valid_e, t_e)),
+        "occl-sparse": (p_occl_sparse, (o, d, valid_e, t_e)),
     }
     which = [a for a in sys.argv[1:] if a in probes]
     fn, args = probes[which[0]]

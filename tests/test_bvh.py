@@ -304,3 +304,45 @@ def test_pallas_culled2_inactive_blocks_skipped():
                                           any_hit=True, interpret=True)
         np.testing.assert_array_equal(np.asarray(hb.valid),
                                       np.asarray(ha.valid))
+
+def test_ray_test_sparse_matches_brute():
+    """ray_test(sparse=True) — the compacted occlusion sweep with its
+    lax.cond fallback — must agree with a direct brute-force occlusion
+    answer for sparse activity (compacted path), dense activity (overflow
+    -> fallback), and all-inactive lanes."""
+    import jax
+    from psdr_tpu.scene.scene import ray_test, _ray_test_sparse
+    from psdr_tpu.core.records import Ray
+    from scenes import cbox_scene
+
+    scene = cbox_scene(width=16, height=16, spp=1)
+    scene.accel_mode = "pallas"
+    scene.prepare_accel()
+    flat = scene.build(scene.params())
+    assert flat.accel_kind == "pallas" and flat.accel is not None
+
+    rng = np.random.default_rng(31)
+    n = 4096  # == sort segment fallback size; ks = 512 lanes
+    o = jnp.asarray(rng.uniform(-0.8, 0.8, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    dist = jnp.asarray(rng.uniform(0.1, 3.0, n), jnp.float32)
+
+    from psdr_tpu.core.constants import ShadowEpsilon
+    hb = ray_intersect_brute(flat.tri.p0, flat.tri.e1, flat.tri.e2, o, d,
+                             jnp.ones(n, bool), tmax=dist - ShadowEpsilon)
+
+    for name, act_np in [("sparse", rng.uniform(size=n) < 0.01),
+                         ("dense-fallback", rng.uniform(size=n) < 0.9),
+                         ("alloff", np.zeros(n, bool))]:
+        act = jnp.asarray(act_np)
+        occ = jax.jit(lambda a: ray_test(flat, Ray(o, d), dist, a,
+                                         sort_rays=True, sparse=True))(act)
+        expect = np.asarray(hb.valid) & act_np
+        np.testing.assert_array_equal(np.asarray(occ), expect, err_msg=name)
+    # the compacted branch really is selected for sparse activity (fits)
+    act = jnp.asarray(rng.uniform(size=n) < 0.01)
+    occ2 = jax.jit(lambda a: _ray_test_sparse(
+        flat, Ray(o, d), dist - ShadowEpsilon, a))(act)
+    np.testing.assert_array_equal(np.asarray(occ2) & np.asarray(act),
+                                  np.asarray(hb.valid) & np.asarray(act))
