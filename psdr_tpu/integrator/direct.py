@@ -31,6 +31,7 @@ from ..core.frame import to_local, to_world
 from ..core.math import (bilinear, cross, dot, mis_weight, norm, normalize,
                          ray_intersect_triangle, scrub_nonfinite, sqr,
                          squared_norm)
+from ..accel.bruteforce import HitRecord
 from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..emitter.envmap import envmap_eval_direction
@@ -264,9 +265,13 @@ class DirectIntegrator(Integrator):
         _p2 = bss.p2  # already detached
         _dir = normalize(_p2 - _p0)
 
-        # visibility p0 -> p2; grab the differentiable TriangleInfo of the hit
-        its2_full, tri_info = ray_intersect(flat, Ray(_p0, _dir), valid,
-                                            path_space=True, want_tri_info=True)
+        # visibility p0 -> p2; grab the differentiable TriangleInfo of the
+        # hit. The segment is valid only when the closest hit IS the emitter
+        # point p2, so the emitter-first query (tiny emitter closest hit +
+        # sparse occlusion sweep) replaces the full-scene closest hit
+        # exactly, as in the MIS bounce (ray_intersect_emitter_first doc)
+        its2_full, tri_info = ray_intersect_emitter_first(
+            flat, Ray(_p0, _dir), valid, want_tri_info=True)
         _its2 = jax.tree.map(sg, its2_full)
         valid = valid & _its2.valid & (norm(_its2.p - _p2) < ShadowEpsilon)
 
@@ -281,12 +286,26 @@ class DirectIntegrator(Integrator):
         valid = valid & sds.valid
 
         # differentiable camera ray toward p1 (sds.q itself is detached;
-        # gradients enter through the sensor matrices, perspective.cpp:130-136)
+        # gradients enter through the sensor matrices, perspective.cpp:130-136).
+        # The camera trace only needs "is p1 visible" + a differentiable
+        # recompute at p1 — and p1's triangle is already known from the
+        # opposite trace — so a tmax-bounded any-hit plus a known-triangle
+        # recompute replaces the reference's full closest hit
+        # (direct.cpp:257-264); the epsilon check below keeps the same
+        # accept set
         cam_sensor = sensor if ad else jax.tree.map(
             lambda x: sg(x) if isinstance(x, jax.Array) else x, sensor)
         camera_ray = sample_primary_ray(cam_sensor, sds.q)
-        its1 = ray_intersect(flat, camera_ray, valid, path_space=False)
-        valid = valid & its1.valid & (norm(sg(its1.p) - _p1) < ShadowEpsilon)
+        t_cam = norm(_p1 - sg(camera_ray.o))
+        occluded = ray_test(flat, camera_ray, t_cam, valid, sparse=True)
+        vis = valid & ~occluded
+        known = HitRecord(valid=vis,
+                          tri_id=jnp.where(vis, _its1.tri_id, -1),
+                          uv=jnp.zeros(vis.shape + (2,), jnp.float32),
+                          t=t_cam)
+        its1 = ray_intersect(flat, camera_ray, vis, path_space=False,
+                             hit=known)
+        valid = vis & its1.valid & (norm(sg(its1.p) - _p1) < ShadowEpsilon)
 
         # geometric base value (direct.cpp:266-274)
         dist = norm(_p2 - _p1)
@@ -370,7 +389,17 @@ class DirectIntegrator(Integrator):
             def one_round(key):
                 rng = RngStream(key)
                 return eval_lanes(base, idx, rng.next_3d(n))
-            f = jax.jit(one_round)
+
+            @jax.jit
+            def f(keys):
+                # all rounds in ONE program (lax.scan): through the TPU
+                # tunnel each eager dispatch costs seconds, and nrounds is
+                # 16-32 at the reference's guiding scale
+                def body(acc, k):
+                    return acc + one_round(k), None
+                mass, _ = jax.lax.scan(
+                    body, jnp.zeros((num_cells,), jnp.float32), keys)
+                return mass
         else:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -381,27 +410,33 @@ class DirectIntegrator(Integrator):
             base_p = jnp.pad(base, ((0, pad), (0, 0)))
             idx_p = jnp.pad(idx, (0, pad), constant_values=num_cells)
 
-            def one_round_dev(base_in, idx_in, key):
+            def rounds_dev(base_in, idx_in, keys):
                 d = jax.lax.axis_index(axis)
                 start = d * count
-                # full-domain draw then slice: lane l sees the same uniform
-                # on every device AND in the serial build, making the psum
-                # of disjoint slices bit-identical to the serial mass
-                rng = RngStream(key)
-                u3 = rng.next_3d(n_dev * count)
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, count)
-                m = eval_lanes(sl(base_in), sl(idx_in), sl(u3))
-                return jax.lax.psum(m, axis)
 
-            f = jax.jit(shard_map(one_round_dev, mesh=mesh,
+                def body(acc, key):
+                    # full-domain draw then slice: lane l sees the same
+                    # uniform on every device AND in the serial build,
+                    # making the psum of disjoint slices bit-identical to
+                    # the serial mass
+                    rng = RngStream(key)
+                    u3 = rng.next_3d(n_dev * count)
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, start, count)
+                    m = eval_lanes(sl(base_in), sl(idx_in), sl(u3))
+                    return acc + jax.lax.psum(m, axis), None
+
+                mass, _ = jax.lax.scan(
+                    body, jnp.zeros((num_cells,), jnp.float32), keys)
+                return mass
+
+            f = jax.jit(shard_map(rounds_dev, mesh=mesh,
                                   in_specs=(P(), P(), P()), out_specs=P(),
                                   check_vma=False))
             f = functools.partial(f, base_p, idx_p)
 
         keys = jax.random.split(jax.random.PRNGKey(seed), nrounds)
-        mass = jnp.zeros((num_cells,), jnp.float32)
-        for k in keys:
-            mass = mass + f(k)
+        mass = f(keys)
         if nrounds > 1:
             mass = mass / nrounds
         self.warpper[sensor_id] = hypercube_set_mass(hc, mass)

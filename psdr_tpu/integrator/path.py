@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..accel.bruteforce import HitRecord
 from ..bsdf import eval_bsdf, pdf_bsdf, sample_bsdf
 from ..core.constants import ShadowEpsilon
 from ..core.frame import to_local, to_world
@@ -315,10 +316,13 @@ class PathTracer(Integrator):
             _p0 = sg(p0)
             _dir = normalize(sg(bss.p2) - _p0)
             pdf = bss.pdf
-            # visibility p0 -> p2 + differentiable far triangle
-            its2_full, tri_info = ray_intersect(flat, Ray(_p0, _dir), valid,
-                                                path_space=True,
-                                                want_tri_info=True)
+            # visibility p0 -> p2 + differentiable far triangle; the hit
+            # must BE the emitter point p2, so the emitter-first query
+            # replaces the full-scene closest hit exactly (see
+            # DirectIntegrator.eval_secondary_edge)
+            from ..scene.scene import ray_intersect_emitter_first
+            its2_full, tri_info = ray_intersect_emitter_first(
+                flat, Ray(_p0, _dir), valid, want_tri_info=True)
             _its2 = jax.tree.map(sg, its2_full)
             valid = (valid & _its2.valid
                      & (norm(_its2.p - sg(bss.p2)) < ShadowEpsilon))
@@ -411,13 +415,24 @@ class PathTracer(Integrator):
             walk_valid = walk_valid & its_next.valid & (its_next.bsdf_id >= 0)
             its_cur = its_next
 
-            # camera connection at q_step
+            # camera connection at q_step: the target triangle is known
+            # (its_cur), so a tmax-bounded any-hit + known-triangle
+            # recompute replaces the full closest hit (see
+            # DirectIntegrator.eval_secondary_edge camera trace)
             sds = sample_direct(sensor, its_cur.p)
             con_valid = walk_valid & sds.valid
             camera_ray = sample_primary_ray(sensor, sds.q)
-            itsc = ray_intersect(flat, camera_ray, con_valid,
-                                 path_space=False)
-            con_valid = (con_valid & itsc.valid
+            t_cam = norm(sg(its_cur.p) - sg(camera_ray.o))
+            occluded = ray_test(flat, camera_ray, t_cam, con_valid,
+                                sparse=True)
+            con_vis = con_valid & ~occluded
+            known = HitRecord(valid=con_vis,
+                              tri_id=jnp.where(con_vis, its_cur.tri_id, -1),
+                              uv=jnp.zeros(con_vis.shape + (2,), jnp.float32),
+                              t=t_cam)
+            itsc = ray_intersect(flat, camera_ray, con_vis,
+                                 path_space=False, hit=known)
+            con_valid = (con_vis & itsc.valid
                          & (norm(sg(itsc.p) - its_cur.p) < ShadowEpsilon))
             f_cam = adjoint_bsdf(its_cur, -sg(camera_ray.d), con_valid)
 
@@ -548,9 +563,19 @@ class PathTracer(Integrator):
         sds = sample_direct(sensor, _p1)
         valid = valid & sds.valid
 
+        # p1's triangle is known from the sensor-side anchor trace: bounded
+        # any-hit + known-triangle recompute instead of a full closest hit
         camera_ray = sample_primary_ray(sensor, sds.q)
-        its1 = ray_intersect(flat, camera_ray, valid, path_space=False)
-        valid = valid & its1.valid & (norm(sg(its1.p) - _p1) < ShadowEpsilon)
+        t_cam = norm(_p1 - sg(camera_ray.o))
+        occluded = ray_test(flat, camera_ray, t_cam, valid, sparse=True)
+        vis = valid & ~occluded
+        known = HitRecord(valid=vis,
+                          tri_id=jnp.where(vis, _its1.tri_id, -1),
+                          uv=jnp.zeros(vis.shape + (2,), jnp.float32),
+                          t=t_cam)
+        its1 = ray_intersect(flat, camera_ray, vis, path_space=False,
+                             hit=known)
+        valid = vis & its1.valid & (norm(sg(its1.p) - _p1) < ShadowEpsilon)
 
         dist = norm(_p2 - _p1)
         cos2 = jnp.abs(dot(far_n, -_dir))

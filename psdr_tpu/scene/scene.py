@@ -698,7 +698,8 @@ def _ray_test_sparse(flat: FlatScene, ray: Ray, tmax: jax.Array,
 
 
 def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
-                                sort_rays: bool = True):
+                                sort_rays: bool = True,
+                                want_tri_info: bool = False):
     """Closest hit restricted to emitter geometry, plus a tmax-bounded
     any-hit occlusion sweep of the full scene.
 
@@ -732,7 +733,7 @@ def ray_intersect_emitter_first(flat: FlatScene, ray: Ray, active: jax.Array,
         em_table = flat.face_table[idxs]
         rows = select_rows(em_table, jnp.maximum(hit_e.tri_id, 0))
     return ray_intersect(flat, ray, active, path_space=True, hit=hit,
-                         rows=rows)
+                         rows=rows, want_tri_info=want_tri_info)
 
 
 def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
