@@ -24,9 +24,12 @@ namespace {
 struct ObjMesh {
     std::vector<float> verts;    // 3 * nv
     std::vector<float> uvs;      // 2 * nt
+    std::vector<float> normals;  // 3 * nn (vn channel)
     std::vector<int32_t> faces;  // 3 * nf (vertex ids)
     std::vector<int32_t> fuvs;   // 3 * nf (uv ids, -1 if none)
+    std::vector<int32_t> fnrm;   // 3 * nf (normal ids, -1 if none)
     bool has_uv_faces = false;
+    bool has_nrm_faces = false;
 };
 
 // fast float parse over a whitespace-separated span
@@ -53,7 +56,7 @@ void* obj_load(const char* path) {
     auto* m = new ObjMesh();
     const char* p = buf.data();
     const char* end = buf.data() + size;
-    std::vector<int> vidx, tidx;
+    std::vector<int> vidx, tidx, nidx;
     while (p < end) {
         const char* line_end = (const char*)memchr(p, '\n', end - p);
         if (!line_end) line_end = end;
@@ -65,8 +68,12 @@ void* obj_load(const char* path) {
                    && (q[2] == ' ' || q[2] == '\t')) {
             char* r = const_cast<char*>(q + 2);
             for (int k = 0; k < 2; ++k) m->uvs.push_back(strtof(r, &r));
+        } else if (q + 2 < line_end && q[0] == 'v' && q[1] == 'n'
+                   && (q[2] == ' ' || q[2] == '\t')) {
+            char* r = const_cast<char*>(q + 2);
+            for (int k = 0; k < 3; ++k) m->normals.push_back(strtof(r, &r));
         } else if (q + 1 < line_end && q[0] == 'f' && (q[1] == ' ' || q[1] == '\t')) {
-            vidx.clear(); tidx.clear();
+            vidx.clear(); tidx.clear(); nidx.clear();
             const char* r = q + 1;
             while (r < line_end) {
                 r = skip_ws(r, line_end);
@@ -74,8 +81,8 @@ void* obj_load(const char* path) {
                 char* e;
                 long v = strtol(r, &e, 10);
                 if (e == r) break;
-                long t = 0;
-                bool has_t = false;
+                long t = 0, nn = 0;
+                bool has_t = false, has_n = false;
                 r = e;
                 if (r < line_end && *r == '/') {
                     ++r;
@@ -84,15 +91,18 @@ void* obj_load(const char* path) {
                         has_t = true;
                         r = e;
                     }
-                    if (r < line_end && *r == '/') {  // normal index: skip
+                    if (r < line_end && *r == '/') {  // normal index
                         ++r;
-                        strtol(r, &e, 10);
+                        nn = strtol(r, &e, 10);
+                        has_n = e != r;
                         r = e;
                     }
                 }
                 vidx.push_back((int)(v > 0 ? v - 1 : (long)(m->verts.size() / 3) + v));
                 tidx.push_back(has_t ? (int)(t > 0 ? t - 1 : (long)(m->uvs.size() / 2) + t) : -1);
+                nidx.push_back(has_n ? (int)(nn > 0 ? nn - 1 : (long)(m->normals.size() / 3) + nn) : -1);
                 if (has_t) m->has_uv_faces = true;
+                if (has_n) m->has_nrm_faces = true;
             }
             for (size_t k = 1; k + 1 < vidx.size(); ++k) {  // fan triangulation
                 m->faces.push_back(vidx[0]);
@@ -101,6 +111,9 @@ void* obj_load(const char* path) {
                 m->fuvs.push_back(tidx[0] < 0 ? 0 : tidx[0]);
                 m->fuvs.push_back(tidx[k] < 0 ? 0 : tidx[k]);
                 m->fuvs.push_back(tidx[k + 1] < 0 ? 0 : tidx[k + 1]);
+                m->fnrm.push_back(nidx[0] < 0 ? 0 : nidx[0]);
+                m->fnrm.push_back(nidx[k] < 0 ? 0 : nidx[k]);
+                m->fnrm.push_back(nidx[k + 1] < 0 ? 0 : nidx[k + 1]);
             }
         }
         p = line_end + 1;
@@ -109,21 +122,25 @@ void* obj_load(const char* path) {
 }
 
 void obj_counts(void* handle, int32_t* nv, int32_t* nf, int32_t* nt,
-                int32_t* has_uv) {
+                int32_t* nn, int32_t* has_uv, int32_t* has_nrm) {
     auto* m = (ObjMesh*)handle;
     *nv = (int32_t)(m->verts.size() / 3);
     *nf = (int32_t)(m->faces.size() / 3);
     *nt = (int32_t)(m->uvs.size() / 2);
+    *nn = (int32_t)(m->normals.size() / 3);
     *has_uv = m->has_uv_faces ? 1 : 0;
+    *has_nrm = m->has_nrm_faces ? 1 : 0;
 }
 
 void obj_copy(void* handle, float* verts, int32_t* faces, float* uvs,
-              int32_t* fuvs) {
+              int32_t* fuvs, float* normals, int32_t* fnrm) {
     auto* m = (ObjMesh*)handle;
     memcpy(verts, m->verts.data(), m->verts.size() * sizeof(float));
     memcpy(faces, m->faces.data(), m->faces.size() * sizeof(int32_t));
     if (!m->uvs.empty()) memcpy(uvs, m->uvs.data(), m->uvs.size() * sizeof(float));
     if (!m->fuvs.empty()) memcpy(fuvs, m->fuvs.data(), m->fuvs.size() * sizeof(int32_t));
+    if (!m->normals.empty()) memcpy(normals, m->normals.data(), m->normals.size() * sizeof(float));
+    if (!m->fnrm.empty()) memcpy(fnrm, m->fnrm.data(), m->fnrm.size() * sizeof(int32_t));
 }
 
 void obj_free(void* handle) { delete (ObjMesh*)handle; }

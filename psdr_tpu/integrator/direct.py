@@ -275,7 +275,10 @@ class DirectIntegrator(Integrator):
         _its2 = jax.tree.map(sg, its2_full)
         valid = valid & _its2.valid & (norm(_its2.p - _p2) < ShadowEpsilon)
 
-        # opposite trace completes the boundary segment (p1, p2)
+        # opposite trace completes the boundary segment (p1, p2); lanes are
+        # already edge-sorted, and an extra direction sort LOSES on-chip
+        # (renderD 6.41 vs 6.80 M grad-samples/s) — the permute machinery
+        # costs more than the coherence buys here
         _its1 = jax.tree.map(sg, ray_intersect(flat, Ray(_p0, -_dir), valid,
                                                path_space=True))
         valid = valid & _its1.valid

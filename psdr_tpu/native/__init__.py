@@ -62,10 +62,8 @@ def _load():
         lib.obj_load.restype = ctypes.c_void_p
         lib.obj_load.argtypes = [ctypes.c_char_p]
         lib.obj_counts.argtypes = [ctypes.c_void_p] + \
-            [ctypes.POINTER(ctypes.c_int32)] * 4
-        lib.obj_copy.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                 ctypes.c_void_p, ctypes.c_void_p,
-                                 ctypes.c_void_p]
+            [ctypes.POINTER(ctypes.c_int32)] * 6
+        lib.obj_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         lib.obj_free.argtypes = [ctypes.c_void_p]
         lib.build_edges.restype = ctypes.c_int32
         lib.build_edges.argtypes = [ctypes.c_void_p, ctypes.c_int32,
@@ -84,7 +82,8 @@ def available() -> bool:
 
 def obj_load(path: str):
     """Parse an OBJ file -> (verts (V,3) f32, faces (F,3) i32,
-    uvs (T,2) f32 | None, fuvs (F,3) i32 | None). None if lib unavailable."""
+    uvs (T,2) f32 | None, fuvs (F,3) i32 | None, normals (N,3) f32 | None,
+    fnrm (F,3) i32 | None). None if lib unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -92,21 +91,25 @@ def obj_load(path: str):
     if not h:
         raise FileNotFoundError(path)
     try:
-        nv = ctypes.c_int32()
-        nf = ctypes.c_int32()
-        nt = ctypes.c_int32()
-        has_uv = ctypes.c_int32()
+        nv, nf, nt, nn, has_uv, has_nrm = (ctypes.c_int32() for _ in range(6))
         lib.obj_counts(h, ctypes.byref(nv), ctypes.byref(nf),
-                       ctypes.byref(nt), ctypes.byref(has_uv))
+                       ctypes.byref(nt), ctypes.byref(nn),
+                       ctypes.byref(has_uv), ctypes.byref(has_nrm))
         verts = np.empty((nv.value, 3), np.float32)
         faces = np.empty((nf.value, 3), np.int32)
         uvs = np.empty((max(nt.value, 1), 2), np.float32)
         fuvs = np.empty((nf.value, 3), np.int32)
+        nrms = np.empty((max(nn.value, 1), 3), np.float32)
+        fnrm = np.empty((nf.value, 3), np.int32)
         lib.obj_copy(h, verts.ctypes.data, faces.ctypes.data,
-                     uvs.ctypes.data, fuvs.ctypes.data)
+                     uvs.ctypes.data, fuvs.ctypes.data,
+                     nrms.ctypes.data, fnrm.ctypes.data)
         use_uv = has_uv.value and nt.value > 0
+        use_n = has_nrm.value and nn.value > 0
         return (verts, faces, uvs[:nt.value] if use_uv else None,
-                fuvs if use_uv else None)
+                fuvs if use_uv else None,
+                nrms[:nn.value] if use_n else None,
+                fnrm if use_n else None)
     finally:
         lib.obj_free(h)
 

@@ -193,6 +193,8 @@ def _load_shape(scene: Scene, node, bsdf_ids: dict, base_dir: str):
             emitter_node = child
     mesh = load_obj(fname,
                     use_face_normals=bool(props.get("face_normals", False)),
+                    use_vertex_normals=bool(
+                        props.get("use_vertex_normals", False)),
                     bsdf_id=bsdf_id, mesh_id=node.get("id", ""))
     if to_world is not None:
         mesh.set_transform(to_world)

@@ -294,6 +294,12 @@ class Scene:
             vp = mesh.world_positions(mp)
             info, _ = compute_triangle_info(
                 vp, jnp.asarray(mesh.faces), mesh.num_vertices)
+            if mesh.use_vertex_normals:
+                # authored vn channels override the recomputed area-weighted
+                # shading normals (beyond reference; geometric normals and
+                # edge silhouettes stay position-derived)
+                n0, n1, n2 = mesh.world_shading_normals(mp)
+                info = info._replace(n0=n0, n1=n1, n2=n2)
             world_vps.append(vp)
             tri_infos.append(info)
             face_offset.append(face_offset[-1] + mesh.num_faces)

@@ -126,6 +126,9 @@ class Mesh:
                  use_face_normals: bool = False,
                  enable_edges: bool = True,
                  enable_vertex_offset: bool = False,
+                 normals: Optional[np.ndarray] = None,
+                 normal_idx: Optional[np.ndarray] = None,
+                 use_vertex_normals: bool = False,
                  bsdf_id: int = -1, emitter_id: int = -1,
                  mesh_id: str = ""):
         self.vertices = np.ascontiguousarray(vertices, np.float32)
@@ -134,6 +137,18 @@ class Mesh:
         self.uv_idx = (None if uv_idx is None
                        else np.ascontiguousarray(uv_idx, np.int32))
         self.use_face_normals = bool(use_face_normals)
+        # authored OBJ vn channels (beyond reference: psdr-cuda's
+        # tinyobjloader parses vn but mesh.cpp always recomputes
+        # area-weighted normals; opt in with use_vertex_normals=True)
+        self.normals = (None if normals is None
+                        else np.ascontiguousarray(normals, np.float32))
+        self.normal_idx = (None if normal_idx is None
+                           else np.ascontiguousarray(normal_idx, np.int32))
+        self.use_vertex_normals = bool(use_vertex_normals)
+        if self.use_vertex_normals and (self.normals is None
+                                        or self.normal_idx is None):
+            raise ValueError("use_vertex_normals=True requires the OBJ to "
+                             "carry vn channels on every face")
         self.enable_edges = bool(enable_edges)
         self.bsdf_id = int(bsdf_id)
         self.emitter_id = int(emitter_id)
@@ -189,6 +204,19 @@ class Mesh:
             _, vn = compute_triangle_info(vp, self.faces, self.num_vertices)
             vp = vp + off[:, None] * vn
         return xform.transform_pos(m, vp)
+
+    def world_shading_normals(self, params: dict):
+        """Per-corner world-space shading normals from the authored vn
+        channels: rows transform by the inverse-transpose of the composite
+        to_world linear part (differentiable in to_world; the raw normals
+        are constants — authored data, not a function of positions)."""
+        m = (jnp.asarray(self.to_world_left) @ params["to_world"]
+             @ jnp.asarray(self.to_world_right))
+        n = jnp.asarray(self.normals) @ jnp.linalg.inv(m[:3, :3])
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        ni = self.normal_idx
+        return n[ni[:, 0]], n[ni[:, 1]], n[ni[:, 2]]
 
     def shift_vertices(self) -> None:
         """Bake the current (detached) offset into the raw positions and
@@ -301,14 +329,18 @@ def load_obj(fname: str, **kwargs) -> Mesh:
     from .. import native
     parsed = native.obj_load(fname) if native.available() else None
     if parsed is not None:
-        verts_np, faces_np, uvs_np, fuvs_np = parsed
-        return Mesh(verts_np, faces_np, uv=uvs_np, uv_idx=fuvs_np, **kwargs)
+        verts_np, faces_np, uvs_np, fuvs_np, nrm_np, fnrm_np = parsed
+        return Mesh(verts_np, faces_np, uv=uvs_np, uv_idx=fuvs_np,
+                    normals=nrm_np, normal_idx=fnrm_np, **kwargs)
 
     verts: list = []
     uvs: list = []
+    nrms: list = []
     f_v: list = []
     f_t: list = []
+    f_n: list = []
     has_uv_face = False
+    has_nrm_face = False
     with open(fname) as fh:
         for line in fh:
             if line.startswith("v "):
@@ -317,10 +349,15 @@ def load_obj(fname: str, **kwargs) -> Mesh:
             elif line.startswith("vt "):
                 parts = line.split()
                 uvs.append((float(parts[1]), float(parts[2])))
+            elif line.startswith("vn "):
+                parts = line.split()
+                nrms.append((float(parts[1]), float(parts[2]),
+                             float(parts[3])))
             elif line.startswith("f "):
                 parts = line.split()[1:]
                 idx = []
                 tdx = []
+                ndx = []
                 for p in parts:
                     comp = p.split("/")
                     v = int(comp[0])
@@ -331,16 +368,27 @@ def load_obj(fname: str, **kwargs) -> Mesh:
                         has_uv_face = True
                     else:
                         tdx.append(0)
+                    if len(comp) > 2 and comp[2]:
+                        nn = int(comp[2])
+                        ndx.append(nn - 1 if nn > 0 else len(nrms) + nn)
+                        has_nrm_face = True
+                    else:
+                        ndx.append(0)
                 # triangulate fans
                 for k in range(1, len(idx) - 1):
                     f_v.append((idx[0], idx[k], idx[k + 1]))
                     f_t.append((tdx[0], tdx[k], tdx[k + 1]))
+                    f_n.append((ndx[0], ndx[k], ndx[k + 1]))
 
     vertices = np.asarray(verts, np.float32)
     faces = np.asarray(f_v, np.int32)
     uv = np.asarray(uvs, np.float32) if (uvs and has_uv_face) else None
     uv_idx = np.asarray(f_t, np.int32) if uv is not None else None
-    return Mesh(vertices, faces, uv=uv, uv_idx=uv_idx, **kwargs)
+    use_n = bool(nrms) and has_nrm_face
+    normals = np.asarray(nrms, np.float32) if use_n else None
+    normal_idx = np.asarray(f_n, np.int32) if use_n else None
+    return Mesh(vertices, faces, uv=uv, uv_idx=uv_idx,
+                normals=normals, normal_idx=normal_idx, **kwargs)
 
 
 def sample_position(tri_info: TriangleInfo, face_distrb: Discrete,
