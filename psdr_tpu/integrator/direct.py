@@ -270,8 +270,13 @@ class DirectIntegrator(Integrator):
         # point p2, so the emitter-first query (tiny emitter closest hit +
         # sparse occlusion sweep) replaces the full-scene closest hit
         # exactly, as in the MIS bounce (ray_intersect_emitter_first doc)
-        its2_full, tri_info = ray_intersect_emitter_first(
-            flat, Ray(_p0, _dir), valid, want_tri_info=True)
+        if flat.em_tri_idx is not None:
+            its2_full, tri_info = ray_intersect_emitter_first(
+                flat, Ray(_p0, _dir), valid, want_tri_info=True)
+        else:  # > 8192 emitter faces: the dense emitter sweep loses
+            its2_full, tri_info = ray_intersect(
+                flat, Ray(_p0, _dir), valid, path_space=True,
+                want_tri_info=True)
         _its2 = jax.tree.map(sg, its2_full)
         valid = valid & _its2.valid & (norm(_its2.p - _p2) < ShadowEpsilon)
 
