@@ -29,7 +29,8 @@ f -4/-4 -1/-1 -2/-3
 def test_obj_parser_matches_python(tmp_path):
     fn = tmp_path / "m.obj"
     fn.write_text(OBJ)
-    verts, faces, uvs, fuvs = native.obj_load(str(fn))
+    verts, faces, uvs, fuvs, nrms, fnrm = native.obj_load(str(fn))
+    assert nrms is None and fnrm is None  # no vn channels in this file
     assert verts.shape == (5, 3)
     # quad fans into 2 tris + 2 single tris
     assert faces.shape == (4, 3)
