@@ -386,3 +386,33 @@ def test_multiview_train_step_matches_serial():
         p, st, l = step(p, st, jax.random.PRNGKey(10 + i))
         losses.append(float(l))
     assert min(losses[-2:]) < losses[0], losses
+
+
+@pytest.mark.slow
+def test_sharded_pathtracer_boundary_matches_serial():
+    """Round-3 estimator paths (emitter-first boundary visibility,
+    known-triangle camera traces, sparse occlusion cond, indirect +
+    camera-side walks) under lane-DP sharding: PathTracer gradients with
+    every boundary term enabled must match the serial emulation."""
+    from psdr_tpu import PathTracer
+    sc = cbox_scene(width=12, height=12, spp=2, sppe=4, sppse=4)
+    integrator = PathTracer(max_depth=2, camera_depth=2)
+    mesh = device_mesh(4)
+    render_sh = shard_render_fn(integrator, sc, mesh, with_boundary=True)
+    render_ser = _serial_reference(integrator, sc, 4, "lanes",
+                                   with_boundary=True)
+    params = sc.params()
+    key = jax.random.PRNGKey(5)
+
+    def loss(p, k, r):
+        def inner(q):
+            return jnp.mean(r(q, k))
+        return jax.grad(inner)(p)
+
+    g_sh = jax.jit(lambda p, k: loss(p, k, render_sh))(params, key)
+    g_ser = jax.jit(lambda p, k: loss(p, k, render_ser))(params, key)
+    a = np.asarray(g_sh["meshes"][0]["to_world"], np.float64)
+    b = np.asarray(g_ser["meshes"][0]["to_world"], np.float64)
+    assert np.isfinite(a).all() and np.abs(a).max() > 0
+    np.testing.assert_allclose(a, b, rtol=5e-4,
+                               atol=5e-5 * max(np.abs(b).max(), 1e-12))
