@@ -111,9 +111,9 @@ void* obj_load(const char* path) {
                 m->fuvs.push_back(tidx[0] < 0 ? 0 : tidx[0]);
                 m->fuvs.push_back(tidx[k] < 0 ? 0 : tidx[k]);
                 m->fuvs.push_back(tidx[k + 1] < 0 ? 0 : tidx[k + 1]);
-                m->fnrm.push_back(nidx[0] < 0 ? 0 : nidx[0]);
-                m->fnrm.push_back(nidx[k] < 0 ? 0 : nidx[k]);
-                m->fnrm.push_back(nidx[k + 1] < 0 ? 0 : nidx[k + 1]);
+                m->fnrm.push_back(nidx[0]);      // -1 = no vn on corner
+                m->fnrm.push_back(nidx[k]);
+                m->fnrm.push_back(nidx[k + 1]);
             }
         }
         p = line_end + 1;

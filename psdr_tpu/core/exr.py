@@ -454,8 +454,9 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     """Write (H, W, C) float array; C in {1 (Y), 3 (RGB), 4 (RGBA)}.
     ``tile``: write a tiled file with square tiles of that size instead of
     scanline blocks. ``level_mode`` (tiled only): "one" (single level),
-    "mipmap" or "ripmap" — levels beyond (0,0) are box-downsampled with the
-    chosen rounding mode. The reference's tinyexr cannot write tiles at all
+    "mipmap" or "ripmap" — levels beyond (0,0) are nearest-sample
+    downscaled (level sizes follow the chosen rounding mode; level
+    content beyond (0,0) is advisory for this writer). The reference's tinyexr cannot write tiles at all
     (bitmap_loader.cpp wraps its scanline save path only)."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:

@@ -669,9 +669,16 @@ class PathTracer(Integrator):
                                        num_segments=num_cells + 1)[:num_cells]
 
         if mesh is None:
-            def one_round(key):
-                return eval_lanes(base, idx, RngStream(key))
-            f = jax.jit(one_round)
+            @jax.jit
+            def f(keys):
+                # all rounds in ONE program (lax.scan), as in the direct
+                # build: each eager dispatch costs seconds through the
+                # TPU tunnel and nrounds is 16-32 at reference scale
+                def body(acc, k):
+                    return acc + eval_lanes(base, idx, RngStream(k)), None
+                mass, _ = jax.lax.scan(
+                    body, jnp.zeros((num_cells,), jnp.float32), keys)
+                return mass
         else:
             import functools
             from jax import shard_map
@@ -683,23 +690,27 @@ class PathTracer(Integrator):
             base_p = jnp.pad(base, ((0, pad), (0, 0)))
             idx_p = jnp.pad(idx, (0, pad), constant_values=num_cells)
 
-            def one_round_dev(base_in, idx_in, key):
+            def rounds_dev(base_in, idx_in, keys):
                 d = jax.lax.axis_index(axis)
                 start = d * count
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, count)
-                m = eval_lanes(sl(base_in), sl(idx_in),
-                               RngStream(jax.random.fold_in(key, d)))
-                return jax.lax.psum(m, axis)
 
-            f = jax.jit(shard_map(one_round_dev, mesh=mesh,
+                def body(acc, key):
+                    m = eval_lanes(sl(base_in), sl(idx_in),
+                                   RngStream(jax.random.fold_in(key, d)))
+                    return acc + jax.lax.psum(m, axis), None
+
+                mass, _ = jax.lax.scan(
+                    body, jnp.zeros((num_cells,), jnp.float32), keys)
+                return mass
+
+            f = jax.jit(shard_map(rounds_dev, mesh=mesh,
                                   in_specs=(P(), P(), P()), out_specs=P(),
                                   check_vma=False))
             f = functools.partial(f, base_p, idx_p)
 
         keys = jax.random.split(jax.random.PRNGKey(seed), nrounds)
-        mass = jnp.zeros((num_cells,), jnp.float32)
-        for k in keys:
-            mass = mass + f(k)
+        mass = f(keys)
         if nrounds > 1:
             mass = mass / nrounds
         self.ind_warpper[sensor_id] = hypercube_set_mass(hc, mass)

@@ -668,25 +668,24 @@ def _ray_test_sparse(flat: FlatScene, ray: Ray, tmax: jax.Array,
     when any segment overflows its slice. Returns None when the lane count
     doesn't factor into sort segments (caller falls back)."""
     n = ray.d.shape[0]
-    s = seg if n % seg == 0 else 4096
+    s = seg if n % seg == 0 else 4096  # must mirror _octant_sort's sizing
     s = min(s, n)
     ks = s >> frac_shift
     if n % s != 0 or ks < 128:
         return None
-    d = sg(ray.d)
-    q = jnp.clip(((d + 1.0) * 2.0).astype(jnp.int32), 0, 3)
-    key = q[:, 0] * 16 + q[:, 1] * 4 + q[:, 2]
-    key = jnp.where(sg(active), key, 64)
-    local = jnp.argsort(key.reshape(n // s, s), axis=1,
-                        stable=True)[:, :ks].astype(jnp.int32)
-    base = (jnp.arange(n // s, dtype=jnp.int32) * s)[:, None]
-    perm_k = (local + base).reshape(-1)
+    # _octant_sort keys by (active, direction octant) with inactive lanes
+    # last, so the first ks sorted lanes of each segment hold every active
+    # lane whenever the segment's count fits
+    perm, _ = _octant_sort(ray, active, seg=seg, want_inv=False)
+    if perm is None:
+        return None
+    perm_k = perm.reshape(n // s, s)[:, :ks].reshape(-1)
     counts = active.reshape(n // s, s).sum(axis=1)
     fits = jnp.max(counts) <= ks
 
     def sparse_path(_):
         packed = jnp.concatenate(
-            [sg(ray.o), d, active.astype(jnp.float32)[:, None],
+            [sg(ray.o), sg(ray.d), active.astype(jnp.float32)[:, None],
              sg(tmax)[:, None]], axis=1)[perm_k]
         q_act = packed[:, 6] > 0.5
         from ..accel.pallas_kernel import ray_intersect_pallas_culled2
@@ -799,6 +798,17 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
         J = tri.face_area / sg(tri.face_area)
     else:
         uv, t = ray_intersect_triangle(tri.p0, tri.e1, tri.e2, ray.o, ray.d)
+        # Keep the recompute FINITE on every lane: with a caller-provided
+        # ``hit`` (known-triangle camera trace) a vis=True lane can be
+        # near-coplanar, and its unclamped t ~ 1e20 / uv ~ 1e20 would turn
+        # into inf/NaN in downstream normalize()/bilinear() squares —
+        # 0-cotangent * NaN still poisons the psum (CLAUDE.md rule 8).
+        # True hits have t far below 1e6 (f32 geometry is unusable beyond
+        # that) and uv in [0,1], so the clamps never bind (and pass
+        # gradients through) on geometrically real lanes; 1e6-scale masked
+        # garbage stays finite through downstream squares/normalizes.
+        t = jnp.clip(t, -1e6, 1e6)
+        uv = jnp.clip(uv, -8.0, 8.0)
         # miss lanes recompute against the gathered triangle 0 with a near-
         # singular 1/a factor; park them at t=1 so no 1e20-scale positions
         # (and their catastrophic float32 cancellations) enter later bounces

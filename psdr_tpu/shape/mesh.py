@@ -145,10 +145,12 @@ class Mesh:
         self.normal_idx = (None if normal_idx is None
                            else np.ascontiguousarray(normal_idx, np.int32))
         self.use_vertex_normals = bool(use_vertex_normals)
-        if self.use_vertex_normals and (self.normals is None
-                                        or self.normal_idx is None):
-            raise ValueError("use_vertex_normals=True requires the OBJ to "
-                             "carry vn channels on every face")
+        if self.use_vertex_normals:
+            if (self.normals is None or self.normal_idx is None
+                    or (self.normal_idx < 0).any()):
+                raise ValueError(
+                    "use_vertex_normals=True requires the OBJ to carry vn "
+                    "channels on every face corner (v//n or v/t/n forms)")
         self.enable_edges = bool(enable_edges)
         self.bsdf_id = int(bsdf_id)
         self.emitter_id = int(emitter_id)
@@ -373,7 +375,7 @@ def load_obj(fname: str, **kwargs) -> Mesh:
                         ndx.append(nn - 1 if nn > 0 else len(nrms) + nn)
                         has_nrm_face = True
                     else:
-                        ndx.append(0)
+                        ndx.append(-1)  # no vn on this corner
                 # triangulate fans
                 for k in range(1, len(idx) - 1):
                     f_v.append((idx[0], idx[k], idx[k + 1]))

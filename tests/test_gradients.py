@@ -181,3 +181,46 @@ def test_vertex_offset_shift_bake():
     assert np.all(np.asarray(mesh.vertex_offset) == 0.0)
     after = np.asarray(mesh.world_positions(mesh.params()))
     np.testing.assert_allclose(before, after, rtol=1e-5, atol=1e-6)
+
+
+def test_known_hit_recompute_degenerate_lane_grads_finite():
+    """A caller-provided hit (known-triangle camera trace) can mark a lane
+    valid whose recompute ray is near-coplanar with the triangle; the
+    solid-angle re-intersection must stay finite there so a 0-cotangent on
+    the masked lane can never poison the psum'd gradient (CLAUDE.md rule-8
+    class; found in the round-3 boundary-trace rewrite review)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from psdr_tpu.accel.bruteforce import HitRecord
+    from psdr_tpu.core.records import Ray
+    from psdr_tpu.scene.scene import ray_intersect
+    from scenes import cbox_scene
+
+    sc = cbox_scene(width=8, height=8, spp=1)
+    params = sc.params()
+
+    def f(p):
+        flat = sc.build(p)
+        n = 4
+        o = jnp.array([[0.0, 0.0, 5.0]] * n)
+        # lane 0: honest ray at the scene; lanes 1-3: parallel/grazing to
+        # whatever triangle 0 is — degenerate recompute with valid=True
+        d = jnp.array([[0.0, 0.0, -1.0],
+                       [1.0, 0.0, 0.0],
+                       [0.0, 1.0, 1e-8],
+                       [1e-8, 1.0, 0.0]])
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        hit = HitRecord(valid=jnp.ones((n,), bool),
+                        tri_id=jnp.zeros((n,), jnp.int32),
+                        uv=jnp.zeros((n, 2)), t=jnp.ones((n,)))
+        its = ray_intersect(flat, Ray(o, d), jnp.ones((n,), bool), hit=hit)
+        # consume every differentiable field the boundary AD term touches,
+        # masked exactly like the estimator (zero cotangent on junk lanes)
+        mask = (its.t < 10.0)[..., None]
+        return jnp.sum(jnp.where(mask, its.p, 0.0)) + jnp.sum(
+            jnp.where(mask[..., 0], its.t, 0.0))
+
+    g = jax.grad(f)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -128,3 +128,17 @@ def test_vn_changes_shading_not_silhouette(tmp_path):
     sil_re = np.asarray(FieldExtractionIntegrator("silhouette")
                         .renderC(build_scene(False)))
     np.testing.assert_allclose(sil_vn, sil_re)
+
+
+def test_vn_partial_coverage_rejected(tmp_path):
+    """Mixed exports (only some corners carry //n) must be rejected when
+    use_vertex_normals=True — silently shading the bare corners with
+    normals[0] would be wrong with no diagnostic."""
+    p = str(tmp_path / "mixed.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\n"
+                "f 1//1 2 3//1\n")
+    m = load_obj(p)  # fine without the flag
+    assert m.normal_idx is not None and (m.normal_idx < 0).any()
+    with pytest.raises(ValueError, match="every face corner"):
+        load_obj(p, use_vertex_normals=True)
