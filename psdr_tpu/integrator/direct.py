@@ -173,8 +173,13 @@ class DirectIntegrator(Integrator):
             wo = wo / dist[..., None]
 
             # occlusion test with tmax pruning (reference re-traces closest
-            # hit; the sampled emitter data already carries Le, n, J)
-            occluded = ray_test(flat, Ray(its.p, wo), dist, active1)
+            # hit; the sampled emitter data already carries Le, n, J).
+            # Envmap-sampled shadow directions are incoherent, so sort them
+            # (bunny_env NEE frame 2.51 -> 1.89 s on v5e); area-light-only
+            # scenes keep the cheaper unsorted sweep (their shadow rays
+            # already point at the light; sorting measured a loss on cbox)
+            occluded = ray_test(flat, Ray(its.p, wo), dist, active1,
+                                sort_rays=flat.envmap is not None)
             cos_val = dot(ps.n, -wo)
             is_env = ps.emitter < 0
             active1 = active1 & ~occluded & (is_env | (cos_val > 0.0))

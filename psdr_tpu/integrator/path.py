@@ -103,7 +103,9 @@ class PathTracer(Integrator):
             dist = jnp.sqrt(jnp.maximum(dist_sqr, 1e-20))
             wo = wo / dist[..., None]
 
-            occluded = ray_test(flat, Ray(its.p, wo), dist, active_l)
+            # sort envmap-sampled shadow directions (see DirectIntegrator)
+            occluded = ray_test(flat, Ray(its.p, wo), dist, active_l,
+                                sort_rays=flat.envmap is not None)
             cos_l = dot(ps.n, -wo)
             is_env = ps.emitter < 0
             active_l = active_l & ~occluded & (is_env | (cos_l > 0.0))
