@@ -19,6 +19,7 @@ poison reverse-mode gradients with 0 * inf = NaN.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -219,6 +220,24 @@ class DirectIntegrator(Integrator):
         n = num_pixels * opts.sppse
         warp = self.warpper.get(sensor_id)
 
+        flat_det = jax.tree.map(
+            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        emeta = _emitter_meta(scene)
+
+        def eval_tail(sample3_t, pdf0_t, live_t):
+            pix, value = self.eval_secondary_edge(scene, flat, sensor_id,
+                                                  sample3_t, ad=True)
+            value = scrub_nonfinite(value)
+            value = jnp.where(
+                (pdf0_t > Epsilon)[..., None],
+                value / jnp.where(pdf0_t > Epsilon, pdf0_t, 1.0)[..., None],
+                value)
+            if opts.sppse > 1:
+                value = value / opts.sppse
+            return accumulate_image(
+                jnp.where(live_t[..., None], value, 0.0),
+                jnp.where(live_t, pix, -1), num_pixels)
+
         def run_lanes(lane, key_c):
             rng = RngStream(key_c, salt=2)
             m = lane.shape[0]
@@ -231,19 +250,57 @@ class DirectIntegrator(Integrator):
                 sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
             else:
                 pdf0 = jnp.ones((m,), jnp.float32)
+            live = lane < n
 
-            pix, value = self.eval_secondary_edge(scene, flat, sensor_id,
-                                                  sample3, ad=True)
-            value = scrub_nonfinite(value)
-            value = jnp.where(
-                (pdf0 > Epsilon)[..., None],
-                value / jnp.where(pdf0 > Epsilon, pdf0, 1.0)[..., None],
-                value)
-            if opts.sppse > 1:
-                value = value / opts.sppse
-            return accumulate_image(
-                jnp.where((lane < n)[..., None], value, 0.0),
-                jnp.where(lane < n, pix, -1), num_pixels)
+            # Boundary segments are sparse: only ~3% of unguided samples
+            # pass the silhouette/emitter validity (measured, BASELINE.md
+            # round 3), yet the estimator's traces would run full-width. A
+            # cheap detached sampling pre-pass finds the valid lanes and
+            # the whole estimator tail (emitter-first trace, opposite
+            # closest hit, camera any-hit, BSDF eval, AD term) runs on a
+            # quarter-width compacted wavefront. When a 32k sort segment
+            # holds more than s/4 valid lanes (possible under heavy
+            # guiding concentration), a uniform-random s/4-subset is kept
+            # and re-weighted by count/ks — still an unbiased estimator,
+            # just higher variance in exactly those segments; below the
+            # bound (the typical case, and all tests) every valid lane is
+            # kept once with weight 1 and the pass is EXACT. An exact
+            # lax.cond fallback was measured instead and rejected: the
+            # cond's operand copies take pathological (1,N,1)/(N,3)
+            # 42-128x padded layouts and OOM HBM (BASELINE.md round 3).
+            # Sorts are segmented (32k) like every other lane sort — a
+            # flat 2M-lane argsort hits the same padding.
+            s = min(1 << 15, m)
+            ks = s >> 2
+            if (m % s or ks < 256 or os.environ.get(
+                    "PSDR_TPU_SSE_COMPACT", "1") != "1"):
+                return eval_tail(sample3, pdf0, live)
+            bss_v = sample_boundary_segment_direct(
+                flat_det, scene.face_offset, emeta, sg(sample3), live).valid
+            valid_eff = bss_v & live
+            # uniform-random order among each segment's valid lanes: the
+            # first ks are then a uniform subset when the segment overflows
+            u_sel = rng.next_1d(m)
+            key2 = jnp.where(valid_eff, sg(u_sel), 2.0)
+            local = jnp.argsort(key2.reshape(m // s, s), axis=1,
+                                stable=True)[:, :ks].astype(jnp.int32)
+            base = (jnp.arange(m // s, dtype=jnp.int32) * s)[:, None]
+            sel = (local + base).reshape(-1)
+            counts = valid_eff.reshape(m // s, s).sum(axis=1)
+            w_seg = jnp.minimum(
+                1.0, ks / jnp.maximum(counts.astype(jnp.float32), 1.0))
+            sample3_c = sample3[sel]
+            pdf0_c = pdf0[sel] * jnp.repeat(w_seg, ks)
+            live_c = valid_eff[sel]
+            # restore edge coherence inside the compact wavefront (the
+            # random selection key scrambled it): segmented re-sort of the
+            # kept lanes by the edge-selecting coordinate
+            key3 = jnp.where(live_c, sg(sample3_c[:, 0]), 2.0)
+            local2 = jnp.argsort(key3.reshape(m // s, ks), axis=1,
+                                 stable=True).astype(jnp.int32)
+            base2 = (jnp.arange(m // s, dtype=jnp.int32) * ks)[:, None]
+            sel2 = (local2 + base2).reshape(-1)
+            return eval_tail(sample3_c[sel2], pdf0_c[sel2], live_c[sel2])
 
         from .base import scan_lane_chunks, shard_lane_range
         lane_range = shard and shard_lane_range(n, shard)

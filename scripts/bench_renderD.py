@@ -30,6 +30,9 @@ def main():
 
     width = height = 256
     spp, sppe, sppse = 16, 8, 64
+    # pass-split probes: PSDR_RD_SPPE=0 / PSDR_RD_SPPSE=0 zero a term
+    sppe = int(os.environ.get("PSDR_RD_SPPE", sppe))
+    sppse = int(os.environ.get("PSDR_RD_SPPSE", sppse))
     scene = cbox_scene(width=width, height=height, spp=spp,
                        occluder_subdiv=5)
     scene.opts = dataclasses.replace(scene.opts, sppe=sppe, sppse=sppse)

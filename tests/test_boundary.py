@@ -163,3 +163,47 @@ def test_primary_edge_vis_check_rejects_occluded():
     img = jax.jvp(lambda P: f(sc.params(), P, jax.random.PRNGKey(1)),
                   (0.0,), (1.0,))[1]
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_secondary_compact_path_matches_full():
+    """The quarter-width compacted secondary-boundary evaluation (taken
+    when the valid-lane count fits; ~3% typical unguided) must reproduce
+    the full-width pass: same samples, same estimator, only the lane
+    order/width changes. Gradients and the (pure-gradient) image must
+    agree to accumulation-reorder tolerance."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from scenes import cbox_scene
+    from psdr_tpu import DirectIntegrator
+
+    def secondary_grad(compact: bool):
+        os.environ["PSDR_TPU_SSE_COMPACT"] = "1" if compact else "0"
+        try:
+            sc = cbox_scene(width=64, height=64, spp=0, sppse=4,
+                            occluder_subdiv=3)
+            integ = DirectIntegrator(1, 1)
+            render = integ.render_fn(sc, with_boundary=True)
+            params = sc.params()
+
+            def loss(p):
+                return jnp.mean(render(p, jax.random.PRNGKey(7)))
+
+            return jax.jit(jax.grad(loss))(params)
+        finally:
+            os.environ["PSDR_TPU_SSE_COMPACT"] = "1"
+
+    import jax as _jax
+    g_c = secondary_grad(True)
+    g_f = secondary_grad(False)
+    leaves_c = _jax.tree.leaves(g_c)
+    leaves_f = _jax.tree.leaves(g_f)
+    total = 0.0
+    for a, b in zip(leaves_c, leaves_f):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, rtol=1e-4,
+                                   atol=1e-6 * max(np.abs(b).max(), 1e-12))
+        total += np.abs(b).sum()
+    assert total > 0  # the boundary term produced real gradients
