@@ -18,6 +18,8 @@ lanes carry zero throughput, which XLA handles better than compaction.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -246,22 +248,66 @@ class PathTracer(Integrator):
         num_pixels = opts.num_pixels
         n = num_pixels * opts.sppse
 
+        flat_det = jax.tree.map(
+            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        emeta = _emitter_meta(scene)
+
+        def eval_tail(sample3_t, live_t, rng, weight_t=None):
+            splats = self.eval_secondary_edge_camera(scene, flat, sensor_id,
+                                                     sample3_t, rng, far)
+            img = jnp.zeros((num_pixels, 3), jnp.float32)
+            for pix, value in splats:
+                value = scrub_nonfinite(value)
+                if weight_t is not None:
+                    # per-lane overflow re-weighting (count/ks; 1 when the
+                    # segment's valid lanes all fit — the typical case)
+                    value = value * weight_t[..., None]
+                if opts.sppse > 1:
+                    value = value / opts.sppse
+                img = img + accumulate_image(
+                    jnp.where(live_t[..., None], value, 0.0),
+                    jnp.where(live_t, pix, -1), num_pixels)
+            return img
+
         def run_lanes(lane, key_c):
             rng = RngStream(key_c, salt=5 if far == "emitter" else 6)
             m = lane.shape[0]
             sample3 = rng.next_3d(m)
             sample3 = sample3[jnp.argsort(sample3[:, 0])]
-            splats = self.eval_secondary_edge_camera(scene, flat, sensor_id,
-                                                     sample3, rng, far)
-            img = jnp.zeros((num_pixels, 3), jnp.float32)
-            for pix, value in splats:
-                value = scrub_nonfinite(value)
-                if opts.sppse > 1:
-                    value = value / opts.sppse
-                img = img + accumulate_image(
-                    jnp.where((lane < n)[..., None], value, 0.0),
-                    jnp.where(lane < n, pix, -1), num_pixels)
-            return img
+            live = lane < n
+            s = min(1 << 15, m)
+            ks = s >> 2
+            if (far != "emitter" or m % s or ks < 256
+                    or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
+                # "direction" lanes pass a much looser (silhouette-only)
+                # validity — compaction pays only on the emitter-sampled
+                # side (~3% valid; see DirectIntegrator)
+                return eval_tail(sample3, live, rng)
+            from ..scene.scene import sample_boundary_segment_direct
+            bss_v = sample_boundary_segment_direct(
+                flat_det, scene.face_offset, emeta, sg(sample3), live).valid
+            valid_eff = bss_v & live
+            u_sel = rng.next_1d(m)
+            key2 = jnp.where(valid_eff, sg(u_sel), 2.0)
+            local = jnp.argsort(key2.reshape(m // s, s), axis=1,
+                                stable=True)[:, :ks].astype(jnp.int32)
+            base = (jnp.arange(m // s, dtype=jnp.int32) * s)[:, None]
+            sel = (local + base).reshape(-1)
+            counts = valid_eff.reshape(m // s, s).sum(axis=1)
+            # per-segment overflow weight count/ks (1 when everything fits);
+            # constant within a segment, so it survives the within-segment
+            # coherence re-sort below
+            weight = jnp.repeat(jnp.maximum(
+                1.0, counts.astype(jnp.float32) / ks), ks)
+            sample3_c = sample3[sel]
+            live_c = valid_eff[sel]
+            key3 = jnp.where(live_c, sg(sample3_c[:, 0]), 2.0)
+            local2 = jnp.argsort(key3.reshape(m // s, ks), axis=1,
+                                 stable=True).astype(jnp.int32)
+            base2 = (jnp.arange(m // s, dtype=jnp.int32) * ks)[:, None]
+            sel2 = (local2 + base2).reshape(-1)
+            return eval_tail(sample3_c[sel2], live_c[sel2], rng,
+                             weight_t=weight)
 
         lane_range = shard and shard_lane_range(n, shard)
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
