@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 def main():
     import dataclasses
-    from psdr_tpu import DirectIntegrator
+    from psdr_tpu import DirectIntegrator, PathTracer
     from scenes import cbox_scene
 
     width = height = 256
@@ -36,7 +36,13 @@ def main():
     scene = cbox_scene(width=width, height=height, spp=spp,
                        occluder_subdiv=5)
     scene.opts = dataclasses.replace(scene.opts, sppe=sppe, sppse=sppse)
-    integ = DirectIntegrator(1, 1)
+    # PSDR_RD_INTEGRATOR=path: depth-2 PathTracer with the camera-side
+    # (camera_depth=2) + indirect boundary estimators — the full
+    # beyond-reference renderD
+    if os.environ.get("PSDR_RD_INTEGRATOR", "direct") == "path":
+        integ = PathTracer(max_depth=2, camera_depth=2)
+    else:
+        integ = DirectIntegrator(1, 1)
     render = integ.render_fn(scene, with_boundary=True)
     params = scene.params()
     target = jnp.zeros((width * height, 3), jnp.float32)
