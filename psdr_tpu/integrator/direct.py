@@ -84,6 +84,37 @@ def _mdiv(a, b, mask):
     return a / jnp.where(mask, b, 1.0)
 
 
+def _compact_boundary_lanes(valid_eff, edge_coord, u_sel, s: int, ks: int):
+    """Shared boundary-pass compaction: keep the first ``ks`` lanes of each
+    ``s``-lane segment after sorting valid lanes first by the uniform key
+    ``u_sel`` (a uniform-random subset when a segment overflows), then
+    restore edge coherence by re-sorting the kept lanes by ``edge_coord``.
+
+    Returns ``(idx, weight, live)``: gather indices into the full wavefront
+    (m//s*ks,), the per-lane unbiasedness weight max(1, count/ks) (1 when
+    the segment's valid lanes all fit — then the compacted estimator is
+    EXACT), and the kept-lane liveness mask. Sorts are segmented — a flat
+    wavefront-sized 1D argsort (and a lax.cond fallback) hit pathological
+    42-128x padded XLA layouts and OOM (BASELINE.md round 3)."""
+    m = valid_eff.shape[0]
+    key2 = jnp.where(valid_eff, sg(u_sel), 2.0)
+    local = jnp.argsort(key2.reshape(m // s, s), axis=1,
+                        stable=True)[:, :ks].astype(jnp.int32)
+    base = (jnp.arange(m // s, dtype=jnp.int32) * s)[:, None]
+    sel = (local + base).reshape(-1)
+    counts = valid_eff.reshape(m // s, s).sum(axis=1)
+    weight = jnp.repeat(jnp.maximum(
+        1.0, counts.astype(jnp.float32) / ks), ks)
+    live_c = valid_eff[sel]
+    key3 = jnp.where(live_c, sg(edge_coord[sel]), 2.0)
+    local2 = jnp.argsort(key3.reshape(m // s, ks), axis=1,
+                         stable=True).astype(jnp.int32)
+    base2 = (jnp.arange(m // s, dtype=jnp.int32) * ks)[:, None]
+    sel2 = (local2 + base2).reshape(-1)
+    # weight is segment-constant, so it survives the within-segment re-sort
+    return sel[sel2], weight, live_c[sel2]
+
+
 def _emitter_meta(scene: Scene):
     meta = []
     for e in scene.emitters:
@@ -277,30 +308,11 @@ class DirectIntegrator(Integrator):
                 return eval_tail(sample3, pdf0, live)
             bss_v = sample_boundary_segment_direct(
                 flat_det, scene.face_offset, emeta, sg(sample3), live).valid
-            valid_eff = bss_v & live
-            # uniform-random order among each segment's valid lanes: the
-            # first ks are then a uniform subset when the segment overflows
-            u_sel = rng.next_1d(m)
-            key2 = jnp.where(valid_eff, sg(u_sel), 2.0)
-            local = jnp.argsort(key2.reshape(m // s, s), axis=1,
-                                stable=True)[:, :ks].astype(jnp.int32)
-            base = (jnp.arange(m // s, dtype=jnp.int32) * s)[:, None]
-            sel = (local + base).reshape(-1)
-            counts = valid_eff.reshape(m // s, s).sum(axis=1)
-            w_seg = jnp.minimum(
-                1.0, ks / jnp.maximum(counts.astype(jnp.float32), 1.0))
-            sample3_c = sample3[sel]
-            pdf0_c = pdf0[sel] * jnp.repeat(w_seg, ks)
-            live_c = valid_eff[sel]
-            # restore edge coherence inside the compact wavefront (the
-            # random selection key scrambled it): segmented re-sort of the
-            # kept lanes by the edge-selecting coordinate
-            key3 = jnp.where(live_c, sg(sample3_c[:, 0]), 2.0)
-            local2 = jnp.argsort(key3.reshape(m // s, ks), axis=1,
-                                 stable=True).astype(jnp.int32)
-            base2 = (jnp.arange(m // s, dtype=jnp.int32) * ks)[:, None]
-            sel2 = (local2 + base2).reshape(-1)
-            return eval_tail(sample3_c[sel2], pdf0_c[sel2], live_c[sel2])
+            idx, weight, live_c = _compact_boundary_lanes(
+                bss_v & live, sample3[:, 0], rng.next_1d(m), s, ks)
+            # the overflow weight scales value UP by count/ks; fold it into
+            # the pdf division
+            return eval_tail(sample3[idx], pdf0[idx] / weight, live_c)
 
         from .base import scan_lane_chunks, shard_lane_range
         lane_range = shard and shard_lane_range(n, shard)

@@ -35,9 +35,29 @@ from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            ray_test, sample_emitter_position, scene_le,
                            select_rows)
 from .base import Integrator
-from .direct import DirectIntegrator, _emitter_meta, _mdiv, _stratify2
+from .direct import (DirectIntegrator, _compact_boundary_lanes,
+                     _emitter_meta, _mdiv, _stratify2)
 
 sg = jax.lax.stop_gradient
+
+
+def _direction_segment_valid(flat_det, sample3):
+    """Detached silhouette validity of direction-sampled boundary lanes —
+    the sampling pre-pass twin of eval_secondary_edge_indirect /
+    eval_secondary_edge_camera(far="direction"); must stay in lockstep
+    with their edge/direction draws."""
+    from ..core import warp as warp_mod
+    from ..core.constants import EdgeEpsilon
+    from ..core.distribution import discrete_sample_reuse
+    from ..core.math import sign_eps
+    edge_idx, _, _ = discrete_sample_reuse(flat_det.sec_distrb,
+                                           sample3[..., 0])
+    info = jax.tree.map(lambda a: a[edge_idx], flat_det.sec_edge)
+    ok = info.valid & (flat_det.sec_distrb.pmf[edge_idx] > 0.0)
+    d = warp_mod.square_to_uniform_sphere(sample3[..., 1:3])
+    s0 = sign_eps(dot(info.n0, d), EdgeEpsilon)
+    s1 = sign_eps(dot(info.n1, d), EdgeEpsilon)
+    return ok & jnp.where(info.is_boundary, s0 != 0, s0 * s1 < 0)
 
 
 class PathTracer(Integrator):
@@ -277,37 +297,22 @@ class PathTracer(Integrator):
             live = lane < n
             s = min(1 << 15, m)
             ks = s >> 2
-            if (far != "emitter" or m % s or ks < 256
+            if (m % s or ks < 256
                     or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
-                # "direction" lanes pass a much looser (silhouette-only)
-                # validity — compaction pays only on the emitter-sampled
-                # side (~3% valid; see DirectIntegrator)
                 return eval_tail(sample3, live, rng)
-            from ..scene.scene import sample_boundary_segment_direct
-            bss_v = sample_boundary_segment_direct(
-                flat_det, scene.face_offset, emeta, sg(sample3), live).valid
-            valid_eff = bss_v & live
-            u_sel = rng.next_1d(m)
-            key2 = jnp.where(valid_eff, sg(u_sel), 2.0)
-            local = jnp.argsort(key2.reshape(m // s, s), axis=1,
-                                stable=True)[:, :ks].astype(jnp.int32)
-            base = (jnp.arange(m // s, dtype=jnp.int32) * s)[:, None]
-            sel = (local + base).reshape(-1)
-            counts = valid_eff.reshape(m // s, s).sum(axis=1)
-            # per-segment overflow weight count/ks (1 when everything fits);
-            # constant within a segment, so it survives the within-segment
-            # coherence re-sort below
-            weight = jnp.repeat(jnp.maximum(
-                1.0, counts.astype(jnp.float32) / ks), ks)
-            sample3_c = sample3[sel]
-            live_c = valid_eff[sel]
-            key3 = jnp.where(live_c, sg(sample3_c[:, 0]), 2.0)
-            local2 = jnp.argsort(key3.reshape(m // s, ks), axis=1,
-                                 stable=True).astype(jnp.int32)
-            base2 = (jnp.arange(m // s, dtype=jnp.int32) * ks)[:, None]
-            sel2 = (local2 + base2).reshape(-1)
-            return eval_tail(sample3_c[sel2], live_c[sel2], rng,
-                             weight_t=weight)
+            # both far sides are sparse (~3% valid lanes, BASELINE.md):
+            # emitter side gated by the boundary-segment validity,
+            # direction side by the silhouette condition
+            if far == "emitter":
+                from ..scene.scene import sample_boundary_segment_direct
+                v = sample_boundary_segment_direct(
+                    flat_det, scene.face_offset, emeta, sg(sample3),
+                    live).valid
+            else:
+                v = _direction_segment_valid(flat_det, sg(sample3))
+            idx, weight, live_c = _compact_boundary_lanes(
+                v & live, sample3[:, 0], rng.next_1d(m), s, ks)
+            return eval_tail(sample3[idx], live_c, rng, weight_t=weight)
 
         lane_range = shard and shard_lane_range(n, shard)
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
@@ -510,8 +515,25 @@ class PathTracer(Integrator):
 
         warp = self.ind_warpper.get(sensor_id)
 
-        def run_lanes(lane, key_c):
+        flat_det = jax.tree.map(
+            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+
+        def eval_tail(sample3_t, pdf0_t, live_t, rng):
             from ..core.constants import Epsilon
+            pix, value = self.eval_secondary_edge_indirect(
+                scene, flat, sensor_id, sample3_t, rng)
+            value = scrub_nonfinite(value)
+            value = jnp.where(
+                (pdf0_t > Epsilon)[..., None],
+                value / jnp.where(pdf0_t > Epsilon, pdf0_t, 1.0)[..., None],
+                value)
+            if opts.sppse > 1:
+                value = value / opts.sppse
+            return accumulate_image(
+                jnp.where(live_t[..., None], value, 0.0),
+                jnp.where(live_t, pix, -1), num_pixels)
+
+        def run_lanes(lane, key_c):
             from ..core.distribution import hypercube_sample_reuse
             rng = RngStream(key_c, salt=3)
             m = lane.shape[0]
@@ -522,18 +544,18 @@ class PathTracer(Integrator):
                 sample3, pdf0 = hypercube_sample_reuse(warp, sample3)
             else:
                 pdf0 = jnp.ones((m,), jnp.float32)
-            pix, value = self.eval_secondary_edge_indirect(
-                scene, flat, sensor_id, sample3, rng)
-            value = scrub_nonfinite(value)
-            value = jnp.where(
-                (pdf0 > Epsilon)[..., None],
-                value / jnp.where(pdf0 > Epsilon, pdf0, 1.0)[..., None],
-                value)
-            if opts.sppse > 1:
-                value = value / opts.sppse
-            return accumulate_image(
-                jnp.where((lane < n)[..., None], value, 0.0),
-                jnp.where(lane < n, pix, -1), num_pixels)
+            live = lane < n
+            s = min(1 << 15, m)
+            ks = s >> 2
+            if (m % s or ks < 256
+                    or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
+                return eval_tail(sample3, pdf0, live, rng)
+            # silhouette-valid lanes are ~3% (BASELINE.md): compact before
+            # the expensive detached far-side walk
+            v = _direction_segment_valid(flat_det, sg(sample3))
+            idx, weight, live_c = _compact_boundary_lanes(
+                v & live, sample3[:, 0], rng.next_1d(m), s, ks)
+            return eval_tail(sample3[idx], pdf0[idx] / weight, live_c, rng)
 
         from .base import shard_lane_range
         lane_range = shard and shard_lane_range(n, shard)
