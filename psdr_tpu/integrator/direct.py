@@ -84,6 +84,18 @@ def _mdiv(a, b, mask):
     return a / jnp.where(mask, b, 1.0)
 
 
+def _compact_eligibility(m: int):
+    """(segment, keep) sizes for boundary-pass compaction, or None when the
+    wavefront doesn't factor / is too small / compaction is disabled
+    (PSDR_TPU_SSE_COMPACT=0). One predicate for all four boundary passes."""
+    s = min(1 << 15, m)
+    ks = s >> 2
+    if (m % s or ks < 256
+            or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
+        return None
+    return s, ks
+
+
 def _compact_boundary_lanes(valid_eff, edge_coord, u_sel, s: int, ks: int):
     """Shared boundary-pass compaction: keep the first ``ks`` lanes of each
     ``s``-lane segment after sorting valid lanes first by the uniform key
@@ -255,7 +267,7 @@ class DirectIntegrator(Integrator):
             lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
         emeta = _emitter_meta(scene)
 
-        def eval_tail(sample3_t, pdf0_t, live_t):
+        def eval_tail(sample3_t, pdf0_t, live_t, weight_t=None):
             pix, value = self.eval_secondary_edge(scene, flat, sensor_id,
                                                   sample3_t, ad=True)
             value = scrub_nonfinite(value)
@@ -263,6 +275,10 @@ class DirectIntegrator(Integrator):
                 (pdf0_t > Epsilon)[..., None],
                 value / jnp.where(pdf0_t > Epsilon, pdf0_t, 1.0)[..., None],
                 value)
+            if weight_t is not None:
+                # overflow re-weight count/ks, applied to the value so the
+                # guiding-pdf Epsilon gate above keeps its own threshold
+                value = value * weight_t[..., None]
             if opts.sppse > 1:
                 value = value / opts.sppse
             return accumulate_image(
@@ -301,18 +317,16 @@ class DirectIntegrator(Integrator):
             # 42-128x padded layouts and OOM HBM (BASELINE.md round 3).
             # Sorts are segmented (32k) like every other lane sort — a
             # flat 2M-lane argsort hits the same padding.
-            s = min(1 << 15, m)
-            ks = s >> 2
-            if (m % s or ks < 256 or os.environ.get(
-                    "PSDR_TPU_SSE_COMPACT", "1") != "1"):
+            elig = _compact_eligibility(m)
+            if elig is None:
                 return eval_tail(sample3, pdf0, live)
+            s, ks = elig
             bss_v = sample_boundary_segment_direct(
                 flat_det, scene.face_offset, emeta, sg(sample3), live).valid
             idx, weight, live_c = _compact_boundary_lanes(
                 bss_v & live, sample3[:, 0], rng.next_1d(m), s, ks)
-            # the overflow weight scales value UP by count/ks; fold it into
-            # the pdf division
-            return eval_tail(sample3[idx], pdf0[idx] / weight, live_c)
+            return eval_tail(sample3[idx], pdf0[idx], live_c,
+                             weight_t=weight)
 
         from .base import scan_lane_chunks, shard_lane_range
         lane_range = shard and shard_lane_range(n, shard)

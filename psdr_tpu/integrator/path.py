@@ -36,7 +36,7 @@ from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            select_rows)
 from .base import Integrator
 from .direct import (DirectIntegrator, _compact_boundary_lanes,
-                     _emitter_meta, _mdiv, _stratify2)
+                     _compact_eligibility, _emitter_meta, _mdiv, _stratify2)
 
 sg = jax.lax.stop_gradient
 
@@ -45,19 +45,25 @@ def _direction_segment_valid(flat_det, sample3):
     """Detached silhouette validity of direction-sampled boundary lanes —
     the sampling pre-pass twin of eval_secondary_edge_indirect /
     eval_secondary_edge_camera(far="direction"); must stay in lockstep
-    with their edge/direction draws."""
+    with their edge/direction draws. ONE packed (E, 9) row gather for the
+    four fields it reads (wavefront-sized separate gathers are the top
+    hidden TPU cost — CLAUDE.md gather cost model)."""
     from ..core import warp as warp_mod
     from ..core.constants import EdgeEpsilon
     from ..core.distribution import discrete_sample_reuse
     from ..core.math import sign_eps
     edge_idx, _, _ = discrete_sample_reuse(flat_det.sec_distrb,
                                            sample3[..., 0])
-    info = jax.tree.map(lambda a: a[edge_idx], flat_det.sec_edge)
-    ok = info.valid & (flat_det.sec_distrb.pmf[edge_idx] > 0.0)
+    se = flat_det.sec_edge
+    packed = jnp.concatenate(
+        [se.n0, se.n1, se.valid.astype(jnp.float32)[:, None],
+         se.is_boundary.astype(jnp.float32)[:, None],
+         flat_det.sec_distrb.pmf[:, None]], axis=1)[edge_idx]
+    ok = (packed[:, 6] > 0.5) & (packed[:, 8] > 0.0)
     d = warp_mod.square_to_uniform_sphere(sample3[..., 1:3])
-    s0 = sign_eps(dot(info.n0, d), EdgeEpsilon)
-    s1 = sign_eps(dot(info.n1, d), EdgeEpsilon)
-    return ok & jnp.where(info.is_boundary, s0 != 0, s0 * s1 < 0)
+    s0 = sign_eps(dot(packed[:, 0:3], d), EdgeEpsilon)
+    s1 = sign_eps(dot(packed[:, 3:6], d), EdgeEpsilon)
+    return ok & jnp.where(packed[:, 7] > 0.5, s0 != 0, s0 * s1 < 0)
 
 
 class PathTracer(Integrator):
@@ -295,11 +301,10 @@ class PathTracer(Integrator):
             sample3 = rng.next_3d(m)
             sample3 = sample3[jnp.argsort(sample3[:, 0])]
             live = lane < n
-            s = min(1 << 15, m)
-            ks = s >> 2
-            if (m % s or ks < 256
-                    or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
+            elig = _compact_eligibility(m)
+            if elig is None:
                 return eval_tail(sample3, live, rng)
+            s, ks = elig
             # both far sides are sparse (~3% valid lanes, BASELINE.md):
             # emitter side gated by the boundary-segment validity,
             # direction side by the silhouette condition
@@ -518,7 +523,7 @@ class PathTracer(Integrator):
         flat_det = jax.tree.map(
             lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
 
-        def eval_tail(sample3_t, pdf0_t, live_t, rng):
+        def eval_tail(sample3_t, pdf0_t, live_t, rng, weight_t=None):
             from ..core.constants import Epsilon
             pix, value = self.eval_secondary_edge_indirect(
                 scene, flat, sensor_id, sample3_t, rng)
@@ -527,6 +532,10 @@ class PathTracer(Integrator):
                 (pdf0_t > Epsilon)[..., None],
                 value / jnp.where(pdf0_t > Epsilon, pdf0_t, 1.0)[..., None],
                 value)
+            if weight_t is not None:
+                # overflow re-weight on the value: keeps the guiding-pdf
+                # Epsilon gate above at its own threshold
+                value = value * weight_t[..., None]
             if opts.sppse > 1:
                 value = value / opts.sppse
             return accumulate_image(
@@ -545,17 +554,17 @@ class PathTracer(Integrator):
             else:
                 pdf0 = jnp.ones((m,), jnp.float32)
             live = lane < n
-            s = min(1 << 15, m)
-            ks = s >> 2
-            if (m % s or ks < 256
-                    or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
+            elig = _compact_eligibility(m)
+            if elig is None:
                 return eval_tail(sample3, pdf0, live, rng)
+            s, ks = elig
             # silhouette-valid lanes are ~3% (BASELINE.md): compact before
             # the expensive detached far-side walk
             v = _direction_segment_valid(flat_det, sg(sample3))
             idx, weight, live_c = _compact_boundary_lanes(
                 v & live, sample3[:, 0], rng.next_1d(m), s, ks)
-            return eval_tail(sample3[idx], pdf0[idx] / weight, live_c, rng)
+            return eval_tail(sample3[idx], pdf0[idx], live_c, rng,
+                             weight_t=weight)
 
         from .base import shard_lane_range
         lane_range = shard and shard_lane_range(n, shard)

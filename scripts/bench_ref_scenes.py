@@ -59,9 +59,14 @@ def child(name: str) -> None:
 
 def main():
     for name in SCENES:
-        r = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__), name],
-            capture_output=True, text=True, timeout=3600)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), name],
+                capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired as e:  # keep going, keep output
+            print(f"{name} TIMEOUT\n{(e.stdout or '')[-300:]}"
+                  f"{(e.stderr or '')[-300:]}", flush=True)
+            continue
         out = [l for l in r.stdout.splitlines() if l.startswith("{")]
         print(out[0] if out else f"{name} FAILED\n{r.stdout[-300:]}"
               f"{r.stderr[-400:]}", flush=True)
