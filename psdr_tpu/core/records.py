@@ -145,6 +145,21 @@ class RenderOptions:
     # stratify_primary=False -> independent) | "independent" (plain RNG,
     # the reference's behavior)
     sampler: str = "sobol"
+    # camera-hit prior: a detached spp=1 pixel-center pre-trace records each
+    # pixel's hit triangle; every subpixel camera ray then MTs its pixel's
+    # candidate and, when it hits at t0, runs the closest-hit query with
+    # tmax = t0(1+eps) — the intersection kernel's front-to-back cull skips
+    # every triangle block beyond the hit. Exact: a candidate hit is a real
+    # scene hit, so t_closest <= t0 and the bounded query returns the same
+    # closest hit (an ulp-rescue falls back to the candidate itself).
+    # "auto" = on when spp >= 4 (the pre-trace costs ~1/spp of the camera
+    # pass); True/False force.
+    camera_hit_prior: bool | str = "auto"
+
+    def resolve_camera_prior(self, spp: int) -> bool:
+        if self.camera_hit_prior == "auto":
+            return spp >= 4
+        return bool(self.camera_hit_prior)
 
     @property
     def num_pixels(self) -> int:

@@ -15,13 +15,67 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.math import scrub_nonfinite
+from ..core.constants import RayEpsilon
+from ..core.math import ray_intersect_triangle, scrub_nonfinite
 from ..core.records import RenderOptions
 from ..core.sampler import RngStream
 from ..scene.scene import FlatScene, Scene
 from ..sensor.perspective import sample_primary_edge, sample_primary_ray
 
 sg = jax.lax.stop_gradient
+
+
+def camera_prior_rows(flat: FlatScene, sensor_id: int, pix_order: jax.Array,
+                      opts: RenderOptions) -> jax.Array:
+    """Detached per-pixel candidate rows for the camera-hit prior
+    (RenderOptions.camera_hit_prior): trace one pixel-center ray per pixel
+    and pack the hit triangle's [p0 e1 e2 tri_id] as a (num_pixels, 10)
+    float row, in TILE order — the interior pass's pixel-major chunks then
+    read their candidates as a contiguous slice (no per-lane gather).
+    Missed pixels get an all-zero (degenerate) row whose candidate MT
+    always fails, i.e. an unbounded query."""
+    from ..core.gather import gather_rows
+    from ..scene.scene import _closest_hit
+
+    flat_det = jax.tree.map(
+        lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+    base = jnp.stack([(pix_order % opts.width).astype(jnp.float32),
+                      (pix_order // opts.width).astype(jnp.float32)],
+                     axis=-1)
+    samples = (base + 0.5) / jnp.array([opts.width, opts.height], jnp.float32)
+    ray = sample_primary_ray(flat_det.sensors[sensor_id], samples)
+    hit = _closest_hit(flat_det, ray, jnp.ones(pix_order.shape, bool))
+    rows = gather_rows(flat_det.face_table,
+                       jnp.maximum(hit.tri_id, 0))[:, 0:9]
+    rows = jnp.where(hit.valid[..., None], rows, 0.0)
+    # tri ids are < 2^24 (enforced at build), so f32 round-trips exactly
+    tid = jnp.where(hit.valid, hit.tri_id, -1).astype(jnp.float32)
+    return jnp.concatenate([rows, tid[:, None]], axis=1)
+
+
+def camera_prior_for_rays(prior_rows_c: jax.Array, ray, spp: int):
+    """Per-lane prior tuple for ray_intersect_with_prior from a chunk's
+    candidate rows: broadcast the (ppc, 10) rows across the pixel's spp
+    lanes and MT each lane's (subpixel) ray against its pixel's candidate.
+    A candidate hit is a genuine scene hit, so t0 bounds the closest t even
+    if the row were misaligned with the pixel (padded tail chunks) — the
+    bound is then merely less tight, never wrong."""
+    m = ray.o.shape[0]
+    ppc = prior_rows_c.shape[0]
+    pr = jnp.broadcast_to(prior_rows_c[:, None, :],
+                          (ppc, spp, 10)).reshape(m, 10)
+    o, d = sg(ray.o), sg(ray.d)
+    uv_c, t_c = ray_intersect_triangle(pr[:, 0:3], pr[:, 3:6], pr[:, 6:9],
+                                       o, d)
+    cand_tri = pr[:, 9].astype(jnp.int32)
+    ok = ((uv_c[:, 0] >= 0.0) & (uv_c[:, 1] >= 0.0)
+          & (uv_c[:, 0] + uv_c[:, 1] <= 1.0) & (t_c > RayEpsilon)
+          & (t_c < 1e30) & (cand_tri >= 0))
+    # margin covers last-ulp disagreement between this MT and the kernel's;
+    # a too-generous bound only costs cull efficiency, never correctness
+    tmax_b = jnp.where(ok, t_c * 1.001 + 1e-4, jnp.inf)
+    return (tmax_b, cand_tri, jnp.where(ok[..., None], uv_c, 0.0),
+            jnp.where(ok, t_c, jnp.inf), ok)
 
 
 def tiled_pixel_order(width: int, height: int, tile: int = 32) -> np.ndarray:
@@ -92,10 +146,14 @@ def shard_lane_range(n: int, shard) -> tuple:
 
 
 class Integrator:
-    """Base class; subclasses implement Li(scene, flat, rng, ray, active)."""
+    """Base class; subclasses implement Li(scene, flat, rng, ray, active).
+
+    ``prior`` is the optional camera-hit prior for the first (camera)
+    closest hit — a pure performance hint; implementations route it through
+    ``ray_intersect_with_prior`` (exactness preserved) or ignore it."""
 
     def Li(self, scene: Scene, flat: FlatScene, rng: RngStream, ray,
-           active) -> jax.Array:
+           active, prior=None) -> jax.Array:
         raise NotImplementedError
 
     # -- interior -------------------------------------------------------------
@@ -122,7 +180,7 @@ class Integrator:
                      and a > 1)
         strat = (a, spp // a) if use_strat else None
 
-        def lane_values(lane, key_c):
+        def lane_values(lane, key_c, prior_rows_c=None):
             idx = pix_order[jnp.minimum(lane // spp, num_pixels - 1)]
             base = jnp.stack([(idx % opts.width).astype(jnp.float32),
                               (idx // opts.width).astype(jnp.float32)],
@@ -178,7 +236,9 @@ class Integrator:
             samples = (base + jitter) / jnp.array(
                 [opts.width, opts.height], jnp.float32)
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)
-            value = self.Li(scene, flat, rng, ray, lane < n)
+            prior = (None if prior_rows_c is None
+                     else camera_prior_for_rays(prior_rows_c, ray, spp))
+            value = self.Li(scene, flat, rng, ray, lane < n, prior=prior)
             value = scrub_nonfinite(value)
             return jnp.where((lane < n)[..., None], value, 0.0), idx
 
@@ -193,10 +253,20 @@ class Integrator:
             # from tile order back to pixel order
             ppc = chunk // spp
             n_chunks = -(-count // chunk)
+            # camera-hit prior: one detached pixel-center trace per frame;
+            # each chunk slices its pixels' candidate rows contiguously
+            prior_rows = None
+            if opts.resolve_camera_prior(spp) and flat.face_table is not None:
+                prior_rows = camera_prior_rows(flat, sensor_id, pix_order,
+                                               opts)
 
             def chunk_block(c, key_c):
                 lane = start + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-                value, _ = lane_values(lane, key_c)
+                pr_c = None
+                if prior_rows is not None:
+                    pr_c = jax.lax.dynamic_slice(
+                        prior_rows, (start // spp + c * ppc, 0), (ppc, 10))
+                value, _ = lane_values(lane, key_c, pr_c)
                 return value.reshape(ppc, spp, 3).sum(axis=1)
 
             if opts.resolve_remat(count):

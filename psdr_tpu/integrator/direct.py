@@ -38,7 +38,8 @@ from ..core.sampler import RngStream
 from ..emitter.envmap import envmap_eval_direction
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            ray_intersect, ray_intersect_emitter_first,
-                           ray_test, sample_boundary_segment_direct,
+                           ray_intersect_with_prior, ray_test,
+                           sample_boundary_segment_direct,
                            sample_emitter_position, scene_le, select_rows)
 from ..sensor.perspective import sample_direct, sample_primary_ray
 from .base import Integrator, accumulate_image
@@ -151,13 +152,15 @@ class DirectIntegrator(Integrator):
 
     # -- interior Li (direct.cpp:46-163) --------------------------------------
     def Li(self, scene: Scene, flat: FlatScene, rng: RngStream, ray: Ray,
-           active: jax.Array) -> jax.Array:
+           active: jax.Array, prior=None) -> jax.Array:
         kinds = scene.bsdf_kinds
         emeta = _emitter_meta(scene)
         offsets = scene.face_offset
         n = ray.o.shape[0]
 
-        its = ray_intersect(flat, ray, active)  # solid-angle formulation
+        # solid-angle formulation; tmax-bounded when the interior pass
+        # attached a camera-hit prior (exact — see ray_intersect_with_prior)
+        its = ray_intersect_with_prior(flat, ray, active, prior)
         active = active & its.valid
 
         result = (jnp.zeros((n, 3), jnp.float32) if self.hide_emitters

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..scene.scene import ray_intersect
+from ..scene.scene import ray_intersect_with_prior
 from .base import Integrator
 
 _FIELDS = ("silhouette", "position", "depth", "geoNormal", "shNormal", "uv")
@@ -18,8 +18,8 @@ class FieldExtractionIntegrator(Integrator):
         assert field in _FIELDS, f"Unsupported field: {field}"
         self.field = field
 
-    def Li(self, scene, flat, rng, ray, active):
-        its = ray_intersect(flat, ray, active)
+    def Li(self, scene, flat, rng, ray, active, prior=None):
+        its = ray_intersect_with_prior(flat, ray, active, prior)
         f = self.field
         if f == "silhouette":
             result = jnp.ones(its.p.shape, its.p.dtype)

@@ -32,8 +32,8 @@ from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
                            ray_intersect, ray_intersect_emitter_first,
-                           ray_test, sample_emitter_position, scene_le,
-                           select_rows)
+                           ray_intersect_with_prior, ray_test,
+                           sample_emitter_position, scene_le, select_rows)
 from .base import Integrator
 from .direct import (DirectIntegrator, _compact_boundary_lanes,
                      _compact_eligibility, _emitter_meta, _mdiv, _stratify2)
@@ -95,13 +95,15 @@ class PathTracer(Integrator):
         self.ind_warpper: dict[int, object] = {}
 
     def Li(self, scene: Scene, flat: FlatScene, rng: RngStream, ray: Ray,
-           active: jax.Array) -> jax.Array:
+           active: jax.Array, prior=None) -> jax.Array:
         kinds = scene.bsdf_kinds
         emeta = _emitter_meta(scene)
         offsets = scene.face_offset
         n = ray.o.shape[0]
 
-        its = ray_intersect(flat, ray, active)
+        # tmax-bounded when the interior pass attached a camera-hit prior
+        # (exact — see ray_intersect_with_prior)
+        its = ray_intersect_with_prior(flat, ray, active, prior)
         active = active & its.valid
 
         result = (jnp.zeros((n, 3), jnp.float32) if self.hide_emitters

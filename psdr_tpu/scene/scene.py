@@ -834,6 +834,29 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     return its
 
 
+def ray_intersect_with_prior(flat: FlatScene, ray: Ray, active: jax.Array,
+                             prior=None):
+    """Camera closest hit accelerated by a per-lane hit prior (see
+    RenderOptions.camera_hit_prior). ``prior`` is the detached tuple
+    ``(tmax_bound, cand_tri_id, cand_uv, cand_t, cand_ok)`` built by the
+    interior renderer from the pixel-center pre-trace: where the lane's ray
+    hits its candidate triangle at t0, ``tmax_bound = t0(1+eps)`` bounds the
+    query (any real hit is an upper bound on the closest t, so the bounded
+    query is EXACT); elsewhere the bound is +inf. Lanes where the kernel's
+    own arithmetic rejects the candidate by an ulp and finds nothing else
+    inside the bound are rescued with the candidate hit itself."""
+    if prior is None:
+        return ray_intersect(flat, ray, active)
+    tmax_b, cand_tri, cand_uv, cand_t, cand_ok = prior
+    hit = _closest_hit(flat, ray, active, tmax=tmax_b)
+    resc = active & cand_ok & ~hit.valid
+    hit = HitRecord(valid=hit.valid | resc,
+                    tri_id=jnp.where(resc, cand_tri, hit.tri_id),
+                    uv=jnp.where(resc[..., None], cand_uv, hit.uv),
+                    t=jnp.where(resc, cand_t, hit.t))
+    return ray_intersect(flat, ray, active, hit=hit)
+
+
 def select_rows(table: jax.Array, idx: jax.Array,
                 max_unroll: int = 16) -> jax.Array:
     """``table[idx]`` for a small static first dimension, as a static

@@ -84,6 +84,39 @@ def test_pass_chunking_matches_unchunked():
     assert abs(img1.mean() - img2.mean()) < 0.05 * img1.mean()
 
 
+def test_camera_hit_prior_matches_unbounded():
+    """The camera-hit prior (RenderOptions.camera_hit_prior) must be a pure
+    performance hint: a candidate hit upper-bounds the closest t, so the
+    tmax-bounded query returns the same hits and the render (and its
+    gradients) are unchanged. Exercised across several pass chunks AND a
+    masked ragged tail chunk (20x20 pixels, 512-lane chunks) where the
+    candidate-row slice clamps — a misaligned row is still a real scene
+    triangle, so its bound stays valid."""
+    import dataclasses
+    import jax
+    from psdr_tpu import DirectIntegrator
+
+    sc1 = cbox_scene(width=20, height=20, spp=8)
+    sc2 = cbox_scene(width=20, height=20, spp=8)
+    sc1.opts = dataclasses.replace(sc1.opts, camera_hit_prior=True,
+                                   pass_lanes=512)
+    sc2.opts = dataclasses.replace(sc2.opts, camera_hit_prior=False,
+                                   pass_lanes=512)
+    integ = DirectIntegrator(1, 1)
+    a = np.asarray(integ.renderC(sc1, seed=3))
+    b = np.asarray(integ.renderC(sc2, seed=3))
+    assert np.allclose(a, b, atol=1e-6)
+
+    key = jax.random.PRNGKey(0)
+    f1 = integ.render_fn(sc1, 0, with_boundary=False)
+    f2 = integ.render_fn(sc2, 0, with_boundary=False)
+    g1 = jax.grad(lambda p: (f1(p, key) ** 2).sum())(sc1.params())
+    g2 = jax.grad(lambda p: (f2(p, key) ** 2).sum())(sc2.params())
+    for l1, l2 in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.allclose(np.asarray(l1), np.asarray(l2),
+                           rtol=1e-5, atol=1e-6)
+
+
 def test_emitter_first_matches_full_closest_hit():
     """ray_intersect_emitter_first must equal the full-scene closest hit
     wherever the consumer looks (emitter lanes), on both its internal
