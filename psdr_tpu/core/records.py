@@ -152,9 +152,14 @@ class RenderOptions:
     # every triangle block beyond the hit. Exact: a candidate hit is a real
     # scene hit, so t_closest <= t0 and the bounded query returns the same
     # closest hit (an ulp-rescue falls back to the candidate itself).
-    # "auto" = on when spp >= 4 (the pre-trace costs ~1/spp of the camera
-    # pass); True/False force.
-    camera_hit_prior: bool | str = "auto"
+    # MEASURED A/B LOSER on v5e, default OFF: bench.py 35.7M vs 36.99M
+    # forward — the kernel's front-to-back block streaming already
+    # self-discovers a tight per-lane t_best after the first near blocks,
+    # so the bound saves no MT tiles and the pre-trace + per-lane candidate
+    # MT are pure overhead (~3.5%). Kept as an option: it is exact, and can
+    # pay on very-high-depth-complexity scenes where the first hit hides
+    # most of the triangle stream. "auto" = on when spp >= 4.
+    camera_hit_prior: bool | str = False
 
     def resolve_camera_prior(self, spp: int) -> bool:
         if self.camera_hit_prior == "auto":
