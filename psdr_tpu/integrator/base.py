@@ -236,9 +236,13 @@ class Integrator:
             samples = (base + jitter) / jnp.array(
                 [opts.width, opts.height], jnp.float32)
             ray = sample_primary_ray(flat.sensors[sensor_id], samples)
-            prior = (None if prior_rows_c is None
-                     else camera_prior_for_rays(prior_rows_c, ray, spp))
-            value = self.Li(scene, flat, rng, ray, lane < n, prior=prior)
+            # kwarg only when a prior exists: ad-hoc Li overrides (probe
+            # scripts) need not declare the parameter
+            if prior_rows_c is None:
+                value = self.Li(scene, flat, rng, ray, lane < n)
+            else:
+                prior = camera_prior_for_rays(prior_rows_c, ray, spp)
+                value = self.Li(scene, flat, rng, ray, lane < n, prior=prior)
             value = scrub_nonfinite(value)
             return jnp.where((lane < n)[..., None], value, 0.0), idx
 
