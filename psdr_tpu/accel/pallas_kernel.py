@@ -684,6 +684,7 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
                                  n_slots: int = 2,
                                  sub_split: int = 1,
                                  front_to_back: bool = False,
+                                 n_buckets: int | None = None,
                                  interpret: bool = False,
                                  debug_counters: bool = False) -> HitRecord:
     """Block-culled Pallas intersection, cull and compaction in-kernel.
@@ -766,7 +767,7 @@ def ray_intersect_pallas_culled2(bvh, ray_o: jax.Array, ray_d: jax.Array,
         sb_pad = 128
         subboxes = jnp.zeros((8, sb_pad), jnp.float32)
 
-    NB = 8 if front_to_back else 1
+    NB = (n_buckets or 8) if front_to_back else 1
     out = pl.pallas_call(
         partial(_culled2_kernel, tri_block=T, b_pad=b_pad,
                 cull_chunk=cull_chunk, any_hit=any_hit, n_slots=n_slots,
