@@ -89,6 +89,24 @@ def tiled_pixel_order(width: int, height: int, tile: int = 32) -> np.ndarray:
     return (yy.ravel() * width + xx.ravel())[order].astype(np.int32)
 
 
+def tile_pos_to_pixel(pos: jax.Array, width: int, height: int,
+                      tile: int = 32):
+    """Closed-form inverse of ``tiled_pixel_order`` when the film tiles
+    evenly: pixel id at tile-traversal position ``pos`` by pure integer
+    arithmetic — the wavefront-sized ``pix_order[...]`` gather (~4 ms per
+    2M lanes on v5e, scripts/bench_gather.py cost model) becomes free VPU
+    bit math. Returns None when width/height don't tile evenly (callers
+    fall back to the table gather)."""
+    if width % tile or height % tile:
+        return None
+    tiles_x = width // tile
+    within = pos % (tile * tile)
+    t = pos // (tile * tile)
+    y = (t // tiles_x) * tile + within // tile
+    x = (t % tiles_x) * tile + within % tile
+    return y * width + x
+
+
 def accumulate_image(value: jax.Array, pixel_idx: jax.Array,
                      num_pixels: int) -> jax.Array:
     """Scatter-add sample values into a (num_pixels, 3) image; lanes with
@@ -181,7 +199,9 @@ class Integrator:
         strat = (a, spp // a) if use_strat else None
 
         def lane_values(lane, key_c, prior_rows_c=None):
-            idx = pix_order[jnp.minimum(lane // spp, num_pixels - 1)]
+            pos = jnp.minimum(lane // spp, num_pixels - 1)
+            idx_arith = tile_pos_to_pixel(pos, opts.width, opts.height)
+            idx = pix_order[pos] if idx_arith is None else idx_arith
             base = jnp.stack([(idx % opts.width).astype(jnp.float32),
                               (idx // opts.width).astype(jnp.float32)],
                              axis=-1)

@@ -363,3 +363,17 @@ def test_ld_sequence_elementary_intervals():
                          + np.floor(pts[:, 1] * b).astype(int))
                 assert len(set(cells.tolist())) == spp, (spp, scr, a)
                 a *= 2
+
+
+def test_tile_pos_to_pixel_matches_table():
+    """The arithmetic tile-order inverse must equal tiled_pixel_order
+    exactly (the interior renderer uses it to skip a wavefront-sized
+    gather) and decline non-tiling films."""
+    from psdr_tpu.integrator.base import tile_pos_to_pixel, tiled_pixel_order
+
+    for w, h in ((64, 32), (32, 96), (128, 128)):
+        pos = jnp.arange(w * h, dtype=jnp.int32)
+        arith = tile_pos_to_pixel(pos, w, h)
+        assert arith is not None
+        assert np.array_equal(np.asarray(arith), tiled_pixel_order(w, h))
+    assert tile_pos_to_pixel(jnp.arange(4), 48, 48) is None
