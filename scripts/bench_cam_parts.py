@@ -46,8 +46,8 @@ def bench(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters, out
 
 
-def orchestrate():
-    for name in PROBES:
+def orchestrate(names=None):
+    for name in names or PROBES:
         r = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__), name],
             capture_output=True, text=True, timeout=3600)
@@ -163,5 +163,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) == 1:
         orchestrate()
+    elif sys.argv[1] == "--only":
+        orchestrate(sys.argv[2:])
     else:
         main()
