@@ -37,8 +37,8 @@ def camera_prior_rows(flat: FlatScene, sensor_id: int, pix_order: jax.Array,
     from ..core.gather import gather_rows
     from ..scene.scene import _closest_hit
 
-    flat_det = jax.tree.map(
-        lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+    from ..scene.scene import detach_flat
+    flat_det = detach_flat(flat)
     base = jnp.stack([(pix_order % opts.width).astype(jnp.float32),
                       (pix_order // opts.width).astype(jnp.float32)],
                      axis=-1)
@@ -342,8 +342,8 @@ class Integrator:
         if opts.sppe == 0 or sensor.edges is None:
             return jnp.zeros((num_pixels, 3), jnp.float32)
         n = num_pixels * opts.sppe
-        flat_det = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        from ..scene.scene import detach_flat
+        flat_det = detach_flat(flat)
 
         def run_lanes(lane, key_c):
             rng = RngStream(key_c, salt=1)
@@ -416,8 +416,8 @@ class Integrator:
 
     def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = 0) -> jax.Array:
         """Forward render at current params -> (H, W, 3)."""
-        flat = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, scene.flat)
+        from ..scene.scene import detach_flat
+        flat = detach_flat(scene.flat)
         key = jax.random.PRNGKey(seed)
         img = self.radiance_image(scene, flat, sensor_id, key, with_boundary=False)
         return img.reshape(scene.opts.height, scene.opts.width, 3)

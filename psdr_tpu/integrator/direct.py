@@ -36,7 +36,7 @@ from ..accel.bruteforce import HitRecord
 from ..core.records import Ray
 from ..core.sampler import RngStream
 from ..emitter.envmap import envmap_eval_direction
-from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
+from ..scene.scene import (FlatScene, Scene, detach_flat, emitter_position_pdf,
                            ray_intersect, ray_intersect_emitter_first,
                            ray_intersect_with_prior, ray_test,
                            sample_boundary_segment_direct,
@@ -266,8 +266,7 @@ class DirectIntegrator(Integrator):
         n = num_pixels * opts.sppse
         warp = self.warpper.get(sensor_id)
 
-        flat_det = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        flat_det = detach_flat(flat)
         emeta = _emitter_meta(scene)
 
         def eval_tail(sample3_t, pdf0_t, live_t, weight_t=None):
@@ -468,8 +467,7 @@ class DirectIntegrator(Integrator):
         spp_cell = reso[3]
         n = num_cells * spp_cell
 
-        flat = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, scene.flat)
+        flat = detach_flat(scene.flat)
         idx = jnp.arange(n, dtype=jnp.int32) // spp_cell
         base = hc.cells[idx].astype(jnp.float32)
 

@@ -30,7 +30,7 @@ from ..core.frame import to_local, to_world
 from ..core.math import dot, sqr, squared_norm
 from ..core.records import Ray
 from ..core.sampler import RngStream
-from ..scene.scene import (FlatScene, Scene, emitter_position_pdf,
+from ..scene.scene import (FlatScene, Scene, detach_flat, emitter_position_pdf,
                            ray_intersect, ray_intersect_emitter_first,
                            ray_intersect_with_prior, ray_test,
                            sample_emitter_position, scene_le, select_rows)
@@ -276,8 +276,7 @@ class PathTracer(Integrator):
         num_pixels = opts.num_pixels
         n = num_pixels * opts.sppse
 
-        flat_det = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        flat_det = detach_flat(flat)
         emeta = _emitter_meta(scene)
 
         def eval_tail(sample3_t, live_t, rng, weight_t=None):
@@ -362,8 +361,7 @@ class PathTracer(Integrator):
         emeta = _emitter_meta(scene)
         offsets = scene.face_offset
         sensor = flat.sensors[sensor_id]
-        flat_det = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        flat_det = detach_flat(flat)
         bsdfs_det = jax.tree.map(sg, flat.bsdfs)
         m = sample3.shape[0]
 
@@ -522,8 +520,7 @@ class PathTracer(Integrator):
 
         warp = self.ind_warpper.get(sensor_id)
 
-        flat_det = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        flat_det = detach_flat(flat)
 
         def eval_tail(sample3_t, pdf0_t, live_t, rng, weight_t=None):
             from ..core.constants import Epsilon
@@ -601,8 +598,7 @@ class PathTracer(Integrator):
 
         kinds = scene.bsdf_kinds
         sensor = flat.sensors[sensor_id]
-        flat_det = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, flat)
+        flat_det = detach_flat(flat)
 
         # edge point (differentiable in p0), scene.cpp:456-468 pattern
         edge_idx, pdf0, s1 = discrete_sample_reuse(flat.sec_distrb,
@@ -733,8 +729,7 @@ class PathTracer(Integrator):
         spp_cell = reso[3]
         n = num_cells * spp_cell
 
-        flat = jax.tree.map(
-            lambda x: sg(x) if isinstance(x, jax.Array) else x, scene.flat)
+        flat = detach_flat(scene.flat)
         idx = jnp.arange(n, dtype=jnp.int32) // spp_cell
         base = hc.cells[idx].astype(jnp.float32)
 

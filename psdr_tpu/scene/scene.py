@@ -85,6 +85,23 @@ class FlatScene(NamedTuple):
     # envmap bounding mesh), or None when absent/too large — enables the
     # emitter-first bounce query (ray_intersect_emitter_first)
     em_tri_idx: Optional[jax.Array] = None
+    # static flag set by detach_flat(): every array leaf is stop_gradient'd,
+    # so ray_intersect skips the differentiable hit recompute (the kernel's
+    # own t/uv are the same numbers) and narrows the face-table gather to
+    # the shading columns — measured ~40% of the camera-stage cost beyond
+    # the kernel is this recompute (scripts/bench_cam_parts.py)
+    detached: bool = False
+
+
+def detach_flat(flat: "FlatScene") -> "FlatScene":
+    """Stop-gradient every array leaf and mark the scene detached so the
+    hit recompute takes its fast path. Use this instead of a bare tree-map
+    wherever a detached render is intended (renderC, primary-edge deltas,
+    guiding walks, detached far-side estimates)."""
+    det = jax.tree.map(
+        lambda x: jax.lax.stop_gradient(x) if isinstance(x, jax.Array) else x,
+        flat)
+    return det._replace(detached=True)
 
 
 class Scene:
@@ -755,6 +772,9 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     valid = hit.valid & active
     idx = jnp.maximum(hit.tri_id, 0)
 
+    if flat.detached and not want_tri_info:
+        return _intersection_detached(flat, ray, hit, valid, idx, rows)
+
     if rows is not None or flat.face_table is not None:
         # one packed row gather instead of 14 separate table gathers
         # (11.7x cheaper on v5e at 2M lanes — scripts/bench_gather.py);
@@ -832,6 +852,57 @@ def ray_intersect(flat: FlatScene, ray: Ray, active: jax.Array,
     if want_tri_info:
         return its, tri
     return its
+
+
+def _intersection_detached(flat: FlatScene, ray: Ray, hit, valid, idx,
+                           rows=None) -> Intersection:
+    """Detached-scene hit record: the kernel's own (t, uv) ARE the answer
+    (the differentiable Möller-Trumbore recompute reproduces them up to
+    ulps, so with gradients stopped it is pure redundant work), and only
+    the shading columns [9:32] of the face table are needed — the p0/e1/e2
+    columns exist solely to re-derive what the kernel already returned.
+    Identical estimator up to fp round-off in both formulations: the
+    solid-angle t equals the kernel t, and the path-space
+    p = bilinear(p0,e1,e2, uv) equals ray.at(t) at the same barycentrics;
+    J = 1 exactly once gradients are stopped."""
+    t = jnp.where(valid, hit.t, 1.0)
+    uv = jnp.where(valid[..., None], hit.uv, 0.0)
+    p = ray.at(t)
+
+    if rows is not None:
+        sub = rows[:, 9:]
+    elif flat.face_table is not None:
+        sub = gather_rows(flat.face_table[:, 9:], idx)
+    else:
+        sub = None
+    if sub is not None:
+        n0 = sub[:, 0:3]
+        n1, n2 = sub[:, 3:6], sub[:, 6:9]
+        face_n = sub[:, 9:12]
+        uv0g, uv1g, uv2g = sub[:, 13:15], sub[:, 15:17], sub[:, 17:19]
+        fmask = sub[:, 19] > 0.5
+        mesh_id_g = sub[:, 20].astype(jnp.int32)
+        bsdf_id_g = sub[:, 21].astype(jnp.int32)
+        emitter_id_g = sub[:, 22].astype(jnp.int32)
+    else:
+        n0, n1, n2 = flat.tri.n0[idx], flat.tri.n1[idx], flat.tri.n2[idx]
+        face_n = flat.tri.face_normal[idx]
+        fmask = flat.face_normal_mask[idx]
+        uv0g, uv1g, uv2g = flat.uv0[idx], flat.uv1[idx], flat.uv2[idx]
+        mesh_id_g = flat.mesh_id[idx]
+        bsdf_id_g = flat.bsdf_id[idx]
+        emitter_id_g = flat.emitter_id[idx]
+
+    sh_n = normalize(bilinear(n0, n1 - n0, n2 - n0, uv))
+    sh_n = jnp.where(fmask[..., None], face_n, sh_n)
+    frame = make_frame(sh_n)
+    uv_tex = bilinear(uv0g, uv1g - uv0g, uv2g - uv0g, uv)
+    return Intersection(
+        valid=valid, t=t, p=p, n=face_n, sh_frame=frame,
+        uv=uv_tex, wi=to_local(frame, -ray.d), J=jnp.ones_like(t),
+        mesh_id=mesh_id_g, tri_id=hit.tri_id,
+        bsdf_id=jnp.where(valid, bsdf_id_g, -1),
+        emitter_id=jnp.where(valid, emitter_id_g, -1))
 
 
 def ray_intersect_with_prior(flat: FlatScene, ray: Ray, active: jax.Array,
