@@ -112,7 +112,11 @@ def main():
     scene = cbox_scene(width=WIDTH, height=HEIGHT, spp=SPP,
                        occluder_subdiv=5)
     integrator = DirectIntegrator(BSDF_SAMPLES, LIGHT_SAMPLES)
-    render = jax.jit(integrator.render_fn(scene, with_boundary=False))
+    # forward metric = a forward render (renderC semantics, per-frame
+    # rebuild included): detached render_fn takes the hit-recompute fast
+    # path, as any user's forward render does
+    render = jax.jit(integrator.render_fn(scene, with_boundary=False,
+                                          detached=True))
     params = scene.params()
 
     dt = _bench(render, lambda i: (params, jax.random.PRNGKey(i)), n_iter=5)

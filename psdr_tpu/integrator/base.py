@@ -403,14 +403,22 @@ class Integrator:
         return img
 
     def render_fn(self, scene: Scene, sensor_id: int = 0,
-                  with_boundary: bool = True):
+                  with_boundary: bool = True, detached: bool = False):
         """A jittable, differentiable ``f(params, key) -> (num_pixels, 3)``
         that rebuilds the scene from params (AD flows through configure,
-        matching the reference's re-configure-per-iteration loop)."""
+        matching the reference's re-configure-per-iteration loop).
+
+        ``detached=True`` returns a pure forward renderer (renderC
+        semantics with per-frame rebuild): gradients are stopped after
+        build, so the hit recompute takes its fast path — use for forward
+        throughput and preview renders, never under ``grad``."""
         scene.prepare_accel()
+        from ..scene.scene import detach_flat
 
         def f(params, key):
             flat = scene.build(params)
+            if detached:
+                flat = detach_flat(flat)
             return self.radiance_image(scene, flat, sensor_id, key, with_boundary)
         return f
 

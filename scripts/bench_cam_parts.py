@@ -34,7 +34,13 @@ SPP = 64
 CHUNK = 1 << 21          # one pass chunk of the 16.7M-lane bench wavefront
 
 PROBES = ("raygen", "cam-kernel", "cam-full", "cam-R512", "cam-R2048",
-          "cam-ss1", "cam-ss4", "cam-nb16", "cam-nb4", "counters")
+          "cam-ss1", "cam-ss4", "cam-nb16", "cam-nb4", "counters",
+          # round 2: the counters probe showed only ~2 MT tiles per ray
+          # block — the per-ray-block FIXED cost (interval cull over all
+          # B leaf blocks + prefix matmul + SMEM copies) dominates, so
+          # larger ray blocks amortize it
+          "cam-R4096", "cam-R2048ss4", "cam-R4096ss4", "cam-T256",
+          "raygen2")
 
 
 def bench(fn, *args, iters=5):
@@ -103,6 +109,13 @@ def main():
                          n_buckets=16),
         "cam-nb4": dict(ray_block=1024, sub_split=2, front_to_back=True,
                         n_buckets=4),
+        "cam-R4096": dict(ray_block=4096, sub_split=2, front_to_back=True),
+        "cam-R2048ss4": dict(ray_block=2048, sub_split=4,
+                             front_to_back=True),
+        "cam-R4096ss4": dict(ray_block=4096, sub_split=4,
+                             front_to_back=True),
+        "cam-T256": dict(ray_block=2048, tri_block=256, sub_split=2,
+                         front_to_back=True),
     }
 
     if name == "raygen":
@@ -110,6 +123,35 @@ def main():
         def f(key):
             flat = scene.build(params)
             ray = gen_rays(flat, key)
+            return ray.o.sum() + ray.d.sum()
+    elif name == "raygen2":
+        # production raygen: arithmetic tile-order inverse (no pix_order
+        # gather) — what render_interior actually runs since commit 4e7f766
+        from psdr_tpu.integrator.base import tile_pos_to_pixel
+
+        @jax.jit
+        def f(key):
+            flat = scene.build(params)
+            lane = jnp.arange(CHUNK, dtype=jnp.int32)
+            idx = tile_pos_to_pixel(lane // SPP, WIDTH, HEIGHT)
+            base = jnp.stack([(idx % WIDTH).astype(jnp.float32),
+                              (idx // WIDTH).astype(jnp.float32)], axis=-1)
+            rng = RngStream(key, salt=0)
+            w = jax.random.randint(rng._subkey(), (2,), 0,
+                                   jnp.iinfo(jnp.int32).max,
+                                   jnp.int32).astype(jnp.uint32)
+
+            def pix_scramble(word):
+                h = idx.astype(jnp.uint32) ^ word
+                h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+                return h ^ (h >> 16)
+
+            s_idx = (lane % SPP).astype(jnp.uint32)
+            jitter = ld_2d(s_idx, pix_scramble(w[0]), pix_scramble(w[1]))
+            samples = (base + jitter) / jnp.array([WIDTH, HEIGHT],
+                                                  jnp.float32)
+            ray = sample_primary_ray(flat.sensors[0], samples)
             return ray.o.sum() + ray.d.sum()
     elif name == "cam-kernel":
         @jax.jit

@@ -224,3 +224,41 @@ def test_known_hit_recompute_degenerate_lane_grads_finite():
     g = jax.grad(f)(params)
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_inplane_translate_interior_gradient_is_zero():
+    """Analytic pin: translating an untextured constant-albedo quad WITHIN
+    its own plane presents the identical surface (same plane, same normal,
+    same material), so the interior gradient is exactly zero — the whole
+    signal lives in the silhouette boundary term. Out-of-plane translation
+    of the same setup must be nonzero. Guards against accidentally routing
+    visibility gradients into the interior estimator (they belong to the
+    edge terms), and documents that a mesh_transform FD-vs-interior-AD
+    mismatch on such a mesh is physics, not a bug."""
+    from psdr_tpu.core import transform as xf
+    from scenes import cbox_scene
+
+    sc = cbox_scene(width=12, height=12, spp=4)
+    base = sc.params()
+    integ = DirectIntegrator(1, 1)
+    render = integ.render_fn(sc, 0, with_boundary=False)
+
+    def img_tw(P, i, d):
+        p2 = dict(base)
+        p2["meshes"] = list(base["meshes"])
+        mp = dict(base["meshes"][i])
+        mp["to_world"] = xf.translate(jnp.asarray(d, jnp.float32) * P) \
+            @ mp["to_world"]
+        p2["meshes"][i] = mp
+        return render(p2, jax.random.PRNGKey(3))
+
+    # mesh 0 = floor (y = -1 plane): x-translate is in-plane -> exactly 0
+    g_floor = jax.jacfwd(lambda P: img_tw(P, 0, (1.0, 0.0, 0.0)))(
+        jnp.float32(0.0))
+    assert float(jnp.abs(g_floor).max()) == 0.0
+
+    # mesh 3 = left wall (x = -1 plane): x-translate is along its normal
+    # -> shading changes, interior gradient nonzero
+    g_wall = jax.jacfwd(lambda P: img_tw(P, 3, (1.0, 0.0, 0.0)))(
+        jnp.float32(0.0))
+    assert float(jnp.abs(g_wall).max()) > 1e-3
