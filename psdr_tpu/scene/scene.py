@@ -614,16 +614,23 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
             hit = ray_intersect_bvh(flat.accel, q_o, q_d, q_act, tmax=q_tmax)
         elif flat.accel_kind == "pallas":
             from ..accel.pallas_kernel import ray_intersect_pallas_culled2
-            # tuned on v5e @ 82k tris / 1M coherent rays (bench_p2_sweep):
-            # R=1024 beats 512 by ~8%; sub-block refine G=2 best for
-            # closest-hit (+9%), G=4 for any-hit occlusion queries (+4%).
-            # front-to-back block streaming: +14% coherent / +15% bounce
-            # closest-hit (bench_ftb_coherent, bench_bounce_parts); any-hit
-            # keeps plain order (early exit already dominates)
+            # tuned on v5e: closest-hit R=2048 beats 1024/512/4096 at the
+            # production spp=64 coherence — the cull executes only ~2 MT
+            # tiles per ray block, so the per-ray-block fixed cost (cull +
+            # prefix matmul + SMEM copies) dominates and larger blocks
+            # amortize it until the widened frustum costs cull precision
+            # (bench_cam_parts round 4: R1024/ss2 56.6, R2048/ss2 54.5,
+            # R2048/ss4 51.0, R4096/ss4 52.4 ms per 2M-lane chunk incl.
+            # raygen). Sub-block refine G=4 recovers the cull precision the
+            # bigger block loses. front-to-back block streaming: +14%
+            # coherent / +15% bounce closest-hit (bench_ftb_coherent,
+            # bench_bounce_parts); any-hit keeps plain order + R=1024
+            # (early exit already dominates)
             hit = ray_intersect_pallas_culled2(flat.accel, q_o, q_d, q_act,
                                                tmax=q_tmax, any_hit=any_hit,
-                                               ray_block=1024,
-                                               sub_split=4 if any_hit else 2,
+                                               ray_block=1024 if any_hit
+                                               else 2048,
+                                               sub_split=4,
                                                front_to_back=not any_hit)
         else:
             hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
