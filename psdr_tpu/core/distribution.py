@@ -107,11 +107,29 @@ def discrete_sample_reuse(d: Discrete, samples: jax.Array) -> Tuple[jax.Array, j
             b1, prev_b1 = count_and_prev(mid, mid < s[..., None])
             blk = jnp.clip(b2 * C + b1, 0, n_blocks - 1)
             prev_blk = jnp.where(b1 > 0, prev_b1, prev_b2)
-        row = cmf_rows[blk]                                  # (N, C)
-        r, prev_in = count_and_prev(row, row < s[..., None])
-        idx = jnp.clip(blk * C + r, 0, d.size - 1)
-        prev = jnp.where(r > 0, prev_in, prev_blk)
-        pmf_i = d.pmf[idx]
+        import os as _os
+        if _os.environ.get("PSDR_TPU_CMF_PACKED", "1") == "1":
+            # pack the pmf row next to the cmf row: ONE (N, 2C) row gather
+            # replaces (N, C) + a separate (N,) pmf gather into the big
+            # table — row gathers are per-row-op-bound on v5e, so folding
+            # the second gather away wins (A/B'd on-chip, round 4). The
+            # in-row pmf select is exact: padded entries are 0 but s <
+            # total keeps idx inside the real range (cmf pad is +inf).
+            pmf_rows = jnp.pad(d.pmf, (0, pad)).reshape(n_blocks, C)
+            row2 = jnp.concatenate([cmf_rows, pmf_rows], axis=1)[blk]
+            row = row2[:, :C]
+            r, prev_in = count_and_prev(row, row < s[..., None])
+            idx = jnp.clip(blk * C + r, 0, d.size - 1)
+            prev = jnp.where(r > 0, prev_in, prev_blk)
+            iota = jnp.arange(C, dtype=jnp.int32)
+            pmf_i = jnp.sum(jnp.where(iota[None, :] == r[..., None],
+                                      row2[:, C:], 0.0), axis=-1)
+        else:
+            row = cmf_rows[blk]                              # (N, C)
+            r, prev_in = count_and_prev(row, row < s[..., None])
+            idx = jnp.clip(blk * C + r, 0, d.size - 1)
+            prev = jnp.where(r > 0, prev_in, prev_blk)
+            pmf_i = d.pmf[idx]
     else:
         # first index i with cmf[i] >= s
         idx = jnp.clip(jnp.searchsorted(d.cmf, s, side="left"), 0, d.size - 1)
