@@ -625,13 +625,15 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
             # bigger block loses. front-to-back block streaming: +14%
             # coherent / +15% bounce closest-hit (bench_ftb_coherent,
             # bench_bounce_parts); any-hit keeps plain order + R=1024
-            # (early exit already dominates)
-            hit = ray_intersect_pallas_culled2(flat.accel, q_o, q_d, q_act,
-                                               tmax=q_tmax, any_hit=any_hit,
-                                               ray_block=1024 if any_hit
-                                               else 2048,
-                                               sub_split=4,
-                                               front_to_back=not any_hit)
+            # (early exit already dominates; cross-process envmap-sweep
+            # probes of ftb/R2048 any-hit variants all landed within
+            # tunnel noise — no same-process A/B winner, round 4)
+            hit = ray_intersect_pallas_culled2(
+                flat.accel, q_o, q_d, q_act,
+                tmax=q_tmax, any_hit=any_hit,
+                ray_block=1024 if any_hit else 2048,
+                sub_split=4,
+                front_to_back=not any_hit)
         else:
             hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
                                        tmax=q_tmax)

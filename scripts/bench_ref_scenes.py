@@ -35,7 +35,9 @@ def child(name: str) -> None:
     sc = load_string(xml, base_dir=BASE)
     sc.opts = dataclasses.replace(sc.opts, width=512, height=512, spp=SPP)
     integ = DirectIntegrator(1, 1)
-    render = jax.jit(integ.render_fn(sc, with_boundary=False))
+    # forward metric = a forward render: detached fast path, as bench.py
+    render = jax.jit(integ.render_fn(sc, with_boundary=False,
+                                     detached=True))
     params = sc.params()
 
     out = render(params, jax.random.PRNGKey(0))
