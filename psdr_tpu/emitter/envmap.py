@@ -69,14 +69,18 @@ def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array) -> Envmap
     gw, gh = (w - 1) * 2, (h - 1) * 2
     # The reference super-samples the importance grid to 2x the bitmap
     # (envmap.cpp:14) — 2M cells for a 1k envmap, which makes the cmf
-    # search the dominant NEE-sampling cost on TPU (55 ms/2M lanes,
-    # BASELINE.md round 4). The sampling grid is an importance choice, not
-    # a correctness surface (the pdf is computed from the SAME
-    # distribution, so any resolution is unbiased); divide it down with
-    # PSDR_TPU_ENV_RESO_DIV for a cheaper 2-level search.
+    # search + pdf gathers the dominant envmap-NEE cost on TPU. The grid
+    # is an importance choice, not a correctness surface: the pdf reads
+    # the SAME distribution, so any resolution is unbiased (image means
+    # agree to 3e-4 on bunny_env). Default div=4 for large grids:
+    # +3.8% NEE variance (CPU-measured, seeds A/B) for +32% e2e forward
+    # on bunny_env (15.1 -> 19.9 Mrays/s, BASELINE.md round 4).
+    # PSDR_TPU_ENV_RESO_DIV=1 restores exact reference-parity resolution;
+    # small grids (<= 2^18 cells, incl. every test envmap) never divide.
     import os as _os
-    div = max(1, int(_os.environ.get("PSDR_TPU_ENV_RESO_DIV", "1")))
-    gw, gh = max(128, gw // div), max(64, gh // div)
+    div = max(1, int(_os.environ.get("PSDR_TPU_ENV_RESO_DIV", "4")))
+    if div > 1 and gw * gh > (1 << 18):
+        gw, gh = max(128, gw // div), max(64, gh // div)
     hc = hypercube_init((gw, gh))
     uv = (hc.cells.astype(jnp.float32) + 0.5) * hc.unit
     val = eval_bitmap(Bitmap(jax.lax.stop_gradient(data)), uv)
