@@ -23,9 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-WIDTH = HEIGHT = 512
+WIDTH = 512
+HEIGHT = 64
 SPP = 64
-CHUNK = 1 << 21
+CHUNK = WIDTH * HEIGHT * SPP
 
 
 def interleaved(fns: dict, key, iters=6):
@@ -45,60 +46,33 @@ def interleaved(fns: dict, key, iters=6):
 
 def main():
     from psdr_tpu import DirectIntegrator
-    from psdr_tpu.core.sampler import RngStream, ld_2d
-    from psdr_tpu.integrator.base import tile_pos_to_pixel
-    from psdr_tpu.scene.scene import detach_flat, ray_intersect, scene_le
-    from psdr_tpu.sensor.perspective import sample_primary_ray
+    from psdr_tpu.scene.scene import ray_intersect, scene_le
     from tests.scenes import cbox_scene
 
-    scene = cbox_scene(width=WIDTH, height=HEIGHT, spp=SPP,
-                       occluder_subdiv=5)
-    scene.prepare_accel()
-    params = scene.params()
+    # One EXACT 2M-lane chunk through the REAL interior machinery: a
+    # 512x64 film at spp=64 (tiled raygen, arithmetic inverse, detached
+    # flat, film reduction) — the standalone chunk-Li jit dies on the
+    # sparse-occlusion lax.cond (rule-7 cond-of-kernels quirk), while the
+    # same cond inside the full render program is fine.
+    class CamOnly(DirectIntegrator):
+        def Li(self, scene, flat, rng, ray, active, prior=None):
+            its = ray_intersect(flat, ray, active)
+            return scene_le(flat, its, active & its.valid)
 
-    def gen_rays(flat, key):
-        lane = jnp.arange(CHUNK, dtype=jnp.int32)
-        idx = tile_pos_to_pixel(lane // SPP, WIDTH, HEIGHT)
-        base = jnp.stack([(idx % WIDTH).astype(jnp.float32),
-                          (idx // WIDTH).astype(jnp.float32)], axis=-1)
-        rng = RngStream(key, salt=0)
-        w = jax.random.randint(rng._subkey(), (6,), 0,
-                               jnp.iinfo(jnp.int32).max,
-                               jnp.int32).astype(jnp.uint32)
-
-        def pix_scramble(word):
-            h = idx.astype(jnp.uint32) ^ word
-            h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
-            h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
-            return h ^ (h >> 16)
-
-        s_idx = (lane % SPP).astype(jnp.uint32)
-        jitter = ld_2d(s_idx, pix_scramble(w[0]), pix_scramble(w[1]))
-        rng.ld = (s_idx, pix_scramble(w[2]), pix_scramble(w[3]),
-                  pix_scramble(w[4]), pix_scramble(w[5]))
-        samples = (base + jitter) / jnp.array([WIDTH, HEIGHT], jnp.float32)
-        return rng, sample_primary_ray(flat.sensors[0], samples)
-
-    def cam_only(key):
-        flat = detach_flat(scene.build(params))
-        rng, ray = gen_rays(flat, key)
-        its = ray_intersect(flat, ray, jnp.ones(CHUNK, bool))
-        le = scene_le(flat, its, its.valid)
-        return le.sum() + its.p.sum()
-
-    def li_chunk(integ):
-        def f(key):
-            flat = detach_flat(scene.build(params))
-            rng, ray = gen_rays(flat, key)
-            val = integ.Li(scene, flat, rng, ray, jnp.ones(CHUNK, bool))
-            return val.sum()
-        return f
+    def make(integ):
+        scene = cbox_scene(width=WIDTH, height=HEIGHT, spp=SPP,
+                           occluder_subdiv=5)
+        scene.prepare_accel()
+        params = scene.params()
+        render = jax.jit(integ.render_fn(scene, with_boundary=False,
+                                         detached=True))
+        return lambda key: render(params, key)
 
     fns = {
-        "cam": jax.jit(cam_only),
-        "bsdf": jax.jit(li_chunk(DirectIntegrator(1, 0))),
-        "nee": jax.jit(li_chunk(DirectIntegrator(0, 1))),
-        "full": jax.jit(li_chunk(DirectIntegrator(1, 1))),
+        "cam": make(CamOnly(1, 1)),
+        "bsdf": make(DirectIntegrator(1, 0)),
+        "nee": make(DirectIntegrator(0, 1)),
+        "full": make(DirectIntegrator(1, 1)),
     }
     if len(sys.argv) > 1 and sys.argv[1] == "--nee-ftb":
         import psdr_tpu.integrator.direct as D
@@ -109,12 +83,11 @@ def main():
             return real(flat, ray, dist, active, sort_rays=True,
                         sparse=False)
 
-        # trace-time patch: force the sorted ftb sweep into one variant
         D.ray_test = sorted_ray_test
-        f_ftb = jax.jit(li_chunk(DirectIntegrator(0, 1)))
+        f_ftb = make(DirectIntegrator(0, 1))
         jax.block_until_ready(f_ftb(jax.random.PRNGKey(5)))  # trace now
         D.ray_test = real
-        f_plain = jax.jit(li_chunk(DirectIntegrator(0, 1)))
+        f_plain = make(DirectIntegrator(0, 1))
         interleaved({"nee-ftb": f_ftb, "nee-plain": f_plain},
                     jax.random.PRNGKey(5))
         return
