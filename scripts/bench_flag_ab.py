@@ -1,4 +1,9 @@
-"""Same-process interleaved stage split of the flagship (cbox) forward —
+"""(RETIRED protocol — kept for the record: full-render programs,
+even a single 0.5M-lane chunk, cannot co-reside in one tunnel process;
+the interleave dies with the rule-7 INVALID_ARGUMENT. Use sub-Li-scale
+programs as in bench_env_ab.py instead.)
+
+Same-process interleaved stage split of the flagship (cbox) forward —
 the tunnel-noise-robust replacement for bench_e2e_stages' child-per-stage
 protocol (children drift 2-4x with tunnel load; only its `full` number is
 used). All stages render ONE 2M-lane chunk of the real wavefront through
@@ -24,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 WIDTH = 512
-HEIGHT = 64
+HEIGHT = 32
 SPP = 64
 CHUNK = WIDTH * HEIGHT * SPP
 

@@ -300,3 +300,29 @@ def test_sobol_sampler_beats_stratified():
     assert np.abs(imgs["sobol"].mean(0)
                   - imgs["stratified"].mean(0)).mean() < tol
     assert v_q < 0.7 * v_s, f"sobol did not beat stratified: {v_q:.3e} vs {v_s:.3e}"
+
+
+def test_detached_fast_path_matches_differentiable_forward():
+    """renderC goes through the detached fast path (kernel t/uv reused,
+    narrowed face-table gather); it must reproduce the differentiable
+    pipeline's primal bit-for-bit up to fp reassociation. Pins both the
+    DirectIntegrator and PathTracer chunks, and the detached render_fn."""
+    from psdr_tpu.integrator.path import PathTracer
+    from psdr_tpu.scene.scene import detach_flat
+    from scenes import cbox_scene
+
+    sc = cbox_scene(width=32, height=32, spp=4)
+    key = jax.random.PRNGKey(2)
+    for integ in (DirectIntegrator(1, 1), PathTracer(max_depth=2)):
+        fast = integ.radiance_image(sc, detach_flat(sc.flat), 0, key,
+                                    with_boundary=False)
+        slow = integ.radiance_image(
+            sc, detach_flat(sc.flat)._replace(detached=False), 0, key,
+            with_boundary=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=2e-5)
+    p = sc.params()
+    integ = DirectIntegrator(1, 1)
+    a = integ.render_fn(sc, with_boundary=False)(p, key)
+    b = integ.render_fn(sc, with_boundary=False, detached=True)(p, key)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
