@@ -28,17 +28,29 @@ _NPZ = "/tmp/env_parts_inputs.npz"
 CHUNK = 1 << 21
 
 
-def interleaved(fns: dict, key, iters=6):
-    """Compile all variants, then time them in alternating rounds."""
-    for name, f in fns.items():
-        jax.block_until_ready(f(key))
-    tot = {n: 0.0 for n in fns}
+def interleaved(fns: dict, key, iters=6, sacrifice=True):
+    """Compile all variants, then time them in rotating rounds.
+
+    The FIRST-compiled program in a tunnel process is penalized (~3-14x:
+    its executable appears to be invalidated by subsequent compiles and
+    pays a per-call re-upload — measured both orders, bench_cbox_nee_ab
+    round 4), so a sacrificial duplicate of the first variant is compiled
+    and run first and excluded from results; the timing rounds also
+    rotate the variant order so residual position effects cancel."""
+    names = list(fns)
+    if sacrifice:
+        jax.block_until_ready(fns[names[0]](jax.random.fold_in(key, 999)))
+    for name in names:
+        jax.block_until_ready(fns[name](key))
+    tot = {n: 0.0 for n in names}
     for i in range(iters):
-        for name, f in fns.items():
+        order = names[i % len(names):] + names[:i % len(names)]
+        for name in order:
+            f = fns[name]
             t0 = time.perf_counter()
             jax.block_until_ready(f(jax.random.fold_in(key, i)))
             tot[name] += time.perf_counter() - t0
-    for name in fns:
+    for name in names:
         print(f"{name:18s} {tot[name]/iters*1e3:8.1f} ms", flush=True)
 
 
