@@ -624,18 +624,22 @@ def _closest_hit(flat: FlatScene, ray: Ray, active: jax.Array,
             # raygen). Sub-block refine G=4 recovers the cull precision the
             # bigger block loses. front-to-back block streaming: +14%
             # coherent / +15% bounce closest-hit (bench_ftb_coherent,
-            # bench_bounce_parts); any-hit keeps plain order + R=1024.
-            # Order-artifact-corrected interleaved A/Bs (bench_env_ab
-            # occl-ab with a sacrificial first program): plain 108.1 /
-            # ftb 109.1 / R2048 112.7 ms on the incoherent envmap shadow
-            # sweep — all equivalent; the early exit already dominates,
-            # so the simplest order stays
+            # bench_bounce_parts). Any-hit: R=1024; front-to-back for
+            # SORTED sweeps only. Evidence (round 4): the corrected
+            # interleaved A/B shows ftb neutral on the NEE shadow sweep
+            # itself (108.1 vs 109.1 ms/2M), but the e2e bunny_env child
+            # bench reads 19.9 Mrays/s with ftb vs 14.4 without (same
+            # image mean) — the win lives in the OTHER sorted any-hit
+            # site, the emitter-first bsdf-side dense fallback, whose
+            # long-tmax bounce occlusion exits early when near blocks
+            # stream first. Unsorted (coherent) any-hit keeps plain order
+            # (ftb measured a loss there, round 2).
             hit = ray_intersect_pallas_culled2(
                 flat.accel, q_o, q_d, q_act,
                 tmax=q_tmax, any_hit=any_hit,
                 ray_block=1024 if any_hit else 2048,
                 sub_split=4,
-                front_to_back=not any_hit)
+                front_to_back=(not any_hit) or bool(sort_rays))
         else:
             hit = ray_intersect_culled(flat.accel, q_o, q_d, q_act,
                                        tmax=q_tmax)
