@@ -219,6 +219,21 @@ class DirectIntegrator(Integrator):
             dist = jnp.sqrt(jnp.maximum(dist_sqr, 1e-20))
             wo = wo / dist[..., None]
 
+            # Gate the occlusion query by the zero-contribution side tests
+            # first: a lane whose light sample is behind the emitter
+            # (cos <= 0) or below the shading horizon (wo_local.z <= 0 —
+            # both BSDFs evaluate to 0 there) contributes nothing whether
+            # occluded or not, so it need not trace. Exact: the final
+            # contribution on gated-out lanes is zero either way (pinned
+            # by renderC equality tests). On cbox the entire ceiling's
+            # shadow rays drop out; early-exit blocks get cheaper.
+            cos_val = dot(ps.n, -wo)
+            is_env = ps.emitter < 0
+            side_ok = ((is_env | (cos_val > 0.0))
+                       & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
+                       & (sg(its.wi)[..., 2] > 0.0))
+            active1 = active1 & side_ok
+
             # occlusion test with tmax pruning (reference re-traces closest
             # hit; the sampled emitter data already carries Le, n, J).
             # Envmap-sampled shadow directions are incoherent, so sort them
@@ -227,9 +242,7 @@ class DirectIntegrator(Integrator):
             # already point at the light; sorting measured a loss on cbox)
             occluded = ray_test(flat, Ray(its.p, wo), dist, active1,
                                 sort_rays=flat.envmap is not None)
-            cos_val = dot(ps.n, -wo)
-            is_env = ps.emitter < 0
-            active1 = active1 & ~occluded & (is_env | (cos_val > 0.0))
+            active1 = active1 & ~occluded
 
             le = jnp.where((ps.emitter >= 0)[..., None],
                            select_rows(flat.emitter_radiance,

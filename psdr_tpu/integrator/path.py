@@ -133,12 +133,19 @@ class PathTracer(Integrator):
             dist = jnp.sqrt(jnp.maximum(dist_sqr, 1e-20))
             wo = wo / dist[..., None]
 
+            # zero-contribution side gates BEFORE the occlusion trace
+            # (see DirectIntegrator Li: both BSDFs evaluate to 0 below the
+            # shading horizon on either side, and a back-facing emitter
+            # sample contributes nothing — exact, pinned by renderC tests)
+            cos_l = dot(ps.n, -wo)
+            is_env = ps.emitter < 0
+            active_l = (active_l & (is_env | (cos_l > 0.0))
+                        & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
+                        & (sg(its.wi)[..., 2] > 0.0))
             # sort envmap-sampled shadow directions (see DirectIntegrator)
             occluded = ray_test(flat, Ray(its.p, wo), dist, active_l,
                                 sort_rays=flat.envmap is not None)
-            cos_l = dot(ps.n, -wo)
-            is_env = ps.emitter < 0
-            active_l = active_l & ~occluded & (is_env | (cos_l > 0.0))
+            active_l = active_l & ~occluded
 
             le = jnp.where((ps.emitter >= 0)[..., None],
                            select_rows(flat.emitter_radiance,
