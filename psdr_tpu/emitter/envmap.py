@@ -66,26 +66,49 @@ class EnvmapState(NamedTuple):
 def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array) -> EnvmapState:
     data = params["radiance"]
     h, w = data.shape[0], data.shape[1]
-    gw, gh = (w - 1) * 2, (h - 1) * 2
+    gw_f, gh_f = (w - 1) * 2, (h - 1) * 2
     # The reference super-samples the importance grid to 2x the bitmap
     # (envmap.cpp:14) — 2M cells for a 1k envmap, which makes the cmf
     # search + pdf gathers the dominant envmap-NEE cost on TPU. The grid
     # is an importance choice, not a correctness surface: the pdf reads
     # the SAME distribution, so any resolution is unbiased (image means
-    # agree to 3e-4 on bunny_env). Default div=4 for large grids:
-    # +3.8% NEE variance (CPU-measured, seeds A/B) for +32% e2e forward
-    # on bunny_env (15.1 -> 19.9 Mrays/s, BASELINE.md round 4).
+    # agree to 3e-4 on bunny_env) PROVIDED every nonzero-radiance direction
+    # keeps nonzero mass. Default div=4 for large grids: +3.8% NEE variance
+    # (CPU-measured, seeds A/B) for +32% e2e forward on bunny_env
+    # (15.1 -> 19.9 Mrays/s, BASELINE.md round 4).
     # PSDR_TPU_ENV_RESO_DIV=1 restores exact reference-parity resolution;
     # small grids (<= 2^18 cells, incl. every test envmap) never divide.
     import os as _os
     div = max(1, int(_os.environ.get("PSDR_TPU_ENV_RESO_DIV", "4")))
-    if div > 1 and gw * gh > (1 << 18):
-        gw, gh = max(128, gw // div), max(64, gh // div)
-    hc = hypercube_init((gw, gh))
-    uv = (hc.cells.astype(jnp.float32) + 0.5) * hc.unit
-    val = eval_bitmap(Bitmap(jax.lax.stop_gradient(data)), uv)
-    theta = ((jnp.arange(gw * gh, dtype=jnp.float32) % gh) + 0.5) * (Pi / gh)
-    mass = rgb2luminance(val) * jnp.sin(theta)
+    gw, gh = gw_f, gh_f
+    if div > 1 and gw_f * gh_f > (1 << 18):
+        gw, gh = max(128, gw_f // div), max(64, gh_f // div)
+    if (gw, gh) == (gw_f, gh_f):
+        # reference-parity grid: one bilinear tap per (half-texel) cell
+        # center, exactly envmap.cpp:14-26
+        hc = hypercube_init((gw, gh))
+        uv = (hc.cells.astype(jnp.float32) + 0.5) * hc.unit
+        val = eval_bitmap(Bitmap(jax.lax.stop_gradient(data)), uv)
+        theta = ((jnp.arange(gw * gh, dtype=jnp.float32) % gh) + 0.5) * (Pi / gh)
+        mass = rgb2luminance(val) * jnp.sin(theta)
+    else:
+        # Divided grid: a single center tap at ~div-texel spacing can miss
+        # small bright features (HDRI sun disks) entirely — zero mass means
+        # zero NEE pdf, which is BIASED for light-sampling-only estimators.
+        # Pool the fine reference grid with MAX over each coarse cell's
+        # footprint instead: every direction with nonzero fine-grid mass
+        # keeps nonzero coarse mass (conservative over-weighting only
+        # affects variance, never bias — the pdf reads the same table).
+        fine = hypercube_init((gw_f, gh_f))
+        uv = (fine.cells.astype(jnp.float32) + 0.5) * fine.unit
+        val = eval_bitmap(Bitmap(jax.lax.stop_gradient(data)), uv)
+        theta = ((jnp.arange(gw_f * gh_f, dtype=jnp.float32) % gh_f) + 0.5) * (Pi / gh_f)
+        m_fine = (rgb2luminance(val) * jnp.sin(theta)).reshape(gw_f, gh_f)
+        cx = (jnp.arange(gw_f, dtype=jnp.int32) * gw) // gw_f
+        cy = (jnp.arange(gh_f, dtype=jnp.int32) * gh) // gh_f
+        pooled = jax.ops.segment_max(m_fine, cx, num_segments=gw)        # (gw, gh_f)
+        pooled = jax.ops.segment_max(pooled.T, cy, num_segments=gh).T    # (gw, gh)
+        mass = pooled.reshape(gw * gh)
     hc = hypercube_init((gw, gh), mass)
     to_world = params["to_world"]
     return EnvmapState(data=data, scale=params["scale"], to_world=to_world,

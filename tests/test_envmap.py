@@ -77,6 +77,47 @@ def test_envmap_rotation_ad_vs_fd():
     assert np.percentile(err, 95) < 0.2
 
 
+def test_divided_grid_keeps_mass_of_small_features(monkeypatch):
+    """PSDR_TPU_ENV_RESO_DIV>1 coarsens the importance grid; the coarse
+    mass is MAX-pooled over each cell's fine-grid footprint so a small
+    bright feature (HDRI sun disk) between coarse cell centers can never
+    get zero mass / zero NEE pdf (which would bias light-only estimators).
+    Invariant pinned here: fine mass > 0 => coarse pmf of covering cell > 0."""
+    from psdr_tpu.emitter.envmap import configure_envmap
+    from psdr_tpu.core.bitmap import Bitmap, eval_bitmap
+    from psdr_tpu.core.distribution import hypercube_init
+    from psdr_tpu.core.math import rgb2luminance
+    from psdr_tpu.core.constants import Pi
+
+    h, w = 256, 512  # fine grid 1022x510 > 2^18 cells -> divides at div=4
+    img = np.zeros((h, w, 3), np.float32)
+    img[100, 300] = 50.0     # lone sun-disk texel
+    img[13, 477] = 25.0      # a second one elsewhere
+    monkeypatch.setenv("PSDR_TPU_ENV_RESO_DIV", "4")
+    st = configure_envmap(
+        {"radiance": jnp.asarray(img), "scale": np.float32(1.0),
+         "to_world": jnp.eye(4)},
+        lower=-jnp.ones(3), upper=jnp.ones(3))
+    gw, gh = (int(st.cell_distrb.resolution[0]), int(st.cell_distrb.resolution[1]))
+    gw_f, gh_f = (w - 1) * 2, (h - 1) * 2
+    assert (gw, gh) != (gw_f, gh_f), "expected the divided grid"
+
+    # reference-parity fine mass (the div=1 computation)
+    fine = hypercube_init((gw_f, gh_f))
+    uv = (fine.cells.astype(jnp.float32) + 0.5) * fine.unit
+    val = eval_bitmap(Bitmap(jnp.asarray(img)), uv)
+    theta = ((jnp.arange(gw_f * gh_f, dtype=jnp.float32) % gh_f) + 0.5) * (Pi / gh_f)
+    m_fine = np.asarray(rgb2luminance(val) * jnp.sin(theta)).reshape(gw_f, gh_f)
+
+    pmf = np.asarray(st.cell_distrb.distrb.pmf).reshape(gw, gh)
+    cx = (np.arange(gw_f) * gw) // gw_f
+    cy = (np.arange(gh_f) * gh) // gh_f
+    covered = pmf[cx[:, None], cy[None, :]]       # (gw_f, gh_f)
+    assert np.all(covered[m_fine > 0] > 0), \
+        "a nonzero-radiance direction lost all mass in the divided grid"
+    assert np.isfinite(np.asarray(st.cell_distrb.distrb.total))
+
+
 def test_roughconductor_under_envmap():
     sc = _env_scene(RoughConductor(alpha_u=0.3, alpha_v=0.3), spp=32)
     img = _avg(DirectIntegrator(1, 1), sc, seeds=3)
