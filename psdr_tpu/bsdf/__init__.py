@@ -20,6 +20,21 @@ _EVAL = {"diffuse": eval_diffuse, "roughconductor": eval_roughconductor}
 _SAMPLE = {"diffuse": sample_diffuse, "roughconductor": sample_roughconductor}
 _PDF = {"diffuse": pdf_diffuse, "roughconductor": pdf_roughconductor}
 
+# Capability flags, keyed like the dispatch tables above. A kind is
+# "reflective one-sided" when eval/pdf are exactly zero whenever wi or wo
+# is at or below the shading horizon (wi.z <= 0 or wo.z <= 0). The NEE
+# side-gate (integrator/{direct,path}.py) may skip the shadow trace on
+# below-horizon lanes ONLY when every scene BSDF has this property;
+# kinds missing from this dict conservatively report False, so adding a
+# transmissive/two-sided BSDF silently disables the gate (exact, just
+# slower) instead of biasing renders.
+_REFLECTIVE_ONE_SIDED = {"diffuse": True, "roughconductor": True}
+
+
+def all_reflective_one_sided(kinds) -> bool:
+    """True iff the NEE below-horizon side-gate is exact for this BSDF set."""
+    return all(_REFLECTIVE_ONE_SIDED.get(k, False) for k in kinds)
+
 
 def eval_bsdf(kinds, params_list, its: Intersection, wo: jax.Array,
               active: jax.Array) -> jax.Array:

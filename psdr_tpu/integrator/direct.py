@@ -24,7 +24,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..bsdf import eval_bsdf, pdf_bsdf, sample_bsdf
+from ..bsdf import (all_reflective_one_sided, eval_bsdf, pdf_bsdf,
+                    sample_bsdf)
 from ..core.constants import Epsilon, ShadowEpsilon
 from ..core.distribution import (hypercube_init, hypercube_sample_reuse,
                                  hypercube_set_mass)
@@ -221,17 +222,20 @@ class DirectIntegrator(Integrator):
 
             # Gate the occlusion query by the zero-contribution side tests
             # first: a lane whose light sample is behind the emitter
-            # (cos <= 0) or below the shading horizon (wo_local.z <= 0 —
-            # both BSDFs evaluate to 0 there) contributes nothing whether
-            # occluded or not, so it need not trace. Exact: the final
-            # contribution on gated-out lanes is zero either way (pinned
-            # by renderC equality tests). On cbox the entire ceiling's
-            # shadow rays drop out; early-exit blocks get cheaper.
+            # (cos <= 0) contributes nothing whether occluded or not, so it
+            # need not trace; when every scene BSDF is reflective one-sided
+            # (capability flag next to the dispatch tables,
+            # bsdf/__init__.py), below-shading-horizon lanes are likewise
+            # zero and skip too. Exact: the final contribution on gated-out
+            # lanes is zero either way (pinned by renderC equality tests).
+            # On cbox the entire ceiling's shadow rays drop out.
             cos_val = dot(ps.n, -wo)
             is_env = ps.emitter < 0
-            side_ok = ((is_env | (cos_val > 0.0))
-                       & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
-                       & (sg(its.wi)[..., 2] > 0.0))
+            side_ok = is_env | (cos_val > 0.0)
+            if all_reflective_one_sided(kinds):
+                side_ok = (side_ok
+                           & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
+                           & (sg(its.wi)[..., 2] > 0.0))
             active1 = active1 & side_ok
 
             # occlusion test with tmax pruning (reference re-traces closest

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..accel.bruteforce import HitRecord
-from ..bsdf import eval_bsdf, pdf_bsdf, sample_bsdf
+from ..bsdf import (all_reflective_one_sided, eval_bsdf, pdf_bsdf,
+                    sample_bsdf)
 from ..core.constants import ShadowEpsilon
 from ..core.frame import to_local, to_world
 from ..core.math import dot, sqr, squared_norm
@@ -134,14 +135,17 @@ class PathTracer(Integrator):
             wo = wo / dist[..., None]
 
             # zero-contribution side gates BEFORE the occlusion trace
-            # (see DirectIntegrator Li: both BSDFs evaluate to 0 below the
-            # shading horizon on either side, and a back-facing emitter
-            # sample contributes nothing — exact, pinned by renderC tests)
+            # (see DirectIntegrator Li: a back-facing emitter sample
+            # contributes nothing; the below-horizon gates apply only when
+            # every scene BSDF is reflective one-sided — capability flag
+            # in bsdf/__init__.py. Exact, pinned by renderC tests)
             cos_l = dot(ps.n, -wo)
             is_env = ps.emitter < 0
-            active_l = (active_l & (is_env | (cos_l > 0.0))
-                        & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
-                        & (sg(its.wi)[..., 2] > 0.0))
+            active_l = active_l & (is_env | (cos_l > 0.0))
+            if all_reflective_one_sided(kinds):
+                active_l = (active_l
+                            & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
+                            & (sg(its.wi)[..., 2] > 0.0))
             # sort envmap-sampled shadow directions (see DirectIntegrator)
             occluded = ray_test(flat, Ray(its.p, wo), dist, active_l,
                                 sort_rays=flat.envmap is not None)

@@ -326,3 +326,12 @@ def test_detached_fast_path_matches_differentiable_forward():
     a = integ.render_fn(sc, with_boundary=False)(p, key)
     b = integ.render_fn(sc, with_boundary=False, detached=True)(p, key)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_reflective_one_sided_capability_flag():
+    """The NEE side-gate must derive from per-kind capability flags; an
+    unknown/future BSDF kind must conservatively disable the gate."""
+    from psdr_tpu.bsdf import all_reflective_one_sided
+    assert all_reflective_one_sided(("diffuse", "roughconductor"))
+    assert not all_reflective_one_sided(("diffuse", "thindielectric"))
+    assert all_reflective_one_sided(())
