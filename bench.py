@@ -14,6 +14,23 @@ per camera sample). The backward step is value_and_grad of an L2 loss
 through scene build + interior render at spp=16 (geometry + material
 gradients), as in the reference's inverse-rendering loop (SURVEY.md §3.5).
 
+Forward-metric semantics (changed in round 4, kept since): the forward
+render uses ``render_fn(detached=True)`` — renderC semantics, where the
+hit recompute takes the detached fast path exactly as any user's forward
+render does. Rounds 1-3 measured the differentiable-recompute program;
+the detached program is ~38 ms/2M lanes cheaper (BASELINE.md round 4), so
+round-over-round comparisons across that boundary mix a real speedup with
+a metric redefinition. BASELINE.md's round-4 table carries both numbers
+once for comparability.
+
+A third child process reports ``kernel_mfu_pct``: the production camera
+closest-hit kernel's realized FLOP rate on the flagship scene as a
+percentage of the v5e VPU f32 peak (3.7 TFLOP/s, BASELINE.md roofline
+note). FLOPs are modeled as 60 f32 ops per Moller-Trumbore (ray,
+triangle) pair and pair counts come from the kernel's debug counters
+(executed MT tiles x tile area), so the number tracks the roofline
+analysis per round instead of only round-over-round ratios.
+
 The backward metric runs in a child process: after one large program has
 executed, compiling a second large program in the same process hits a TPU
 runtime "INVALID_ARGUMENT" through the axon tunnel (each program succeeds
@@ -83,9 +100,87 @@ def _backward_child() -> None:
     print(json.dumps({"dt_backward": dt_b}), flush=True)
 
 
+def _mfu_child() -> None:
+    """kernel_mfu_pct: realized FLOP fraction of the v5e VPU f32 peak for
+    the production camera closest-hit kernel on the flagship scene.
+
+    FLOP model = 60 f32 ops per Moller-Trumbore (ray, triangle) pair
+    (BASELINE.md roofline note); executed pairs counted by the kernel's
+    debug counters (full-tile equivalents x tri_block x ray_block). The
+    counter program doubles as the sacrificial first program (first-
+    compiled programs are tunnel-penalized 3-14x, BASELINE.md round 4);
+    both programs are sub-Li scale, which co-reside fine (rule 7 applies
+    only to full-render-scale programs)."""
+    import jax
+    import jax.numpy as jnp
+    from psdr_tpu.accel.pallas_kernel import ray_intersect_pallas_culled2
+    from psdr_tpu.core.sampler import RngStream, ld_2d
+    from psdr_tpu.integrator.base import tile_pos_to_pixel
+    from psdr_tpu.sensor.perspective import sample_primary_ray
+    from tests.scenes import cbox_scene
+
+    sg = jax.lax.stop_gradient
+    CHUNK = 1 << 21
+    RB, T, SS = 2048, 128, 4       # production closest-hit params (scene.py)
+    scene = cbox_scene(width=WIDTH, height=HEIGHT, spp=SPP, occluder_subdiv=5)
+    scene.prepare_accel()
+    params = scene.params()
+
+    def gen_rays(flat, key):
+        lane = jnp.arange(CHUNK, dtype=jnp.int32)
+        idx = tile_pos_to_pixel(lane // SPP, WIDTH, HEIGHT)
+        base = jnp.stack([(idx % WIDTH).astype(jnp.float32),
+                          (idx // WIDTH).astype(jnp.float32)], axis=-1)
+        rng = RngStream(key, salt=0)
+        w = jax.random.randint(rng._subkey(), (2,), 0,
+                               jnp.iinfo(jnp.int32).max,
+                               jnp.int32).astype(jnp.uint32)
+
+        def pix_scramble(word):
+            h = idx.astype(jnp.uint32) ^ word
+            h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+            h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+            return h ^ (h >> 16)
+
+        s_idx = (lane % SPP).astype(jnp.uint32)
+        jitter = ld_2d(s_idx, pix_scramble(w[0]), pix_scramble(w[1]))
+        samples = (base + jitter) / jnp.array([WIDTH, HEIGHT], jnp.float32)
+        return sample_primary_ray(flat.sensors[0], samples)
+
+    @jax.jit
+    def count(key):
+        flat = scene.build(params)
+        ray = gen_rays(flat, key)
+        hit, (tiles, cands) = ray_intersect_pallas_culled2(
+            flat.accel, sg(ray.o), sg(ray.d), jnp.ones(CHUNK, bool),
+            ray_block=RB, tri_block=T, sub_split=SS, front_to_back=True,
+            debug_counters=True)
+        return tiles.sum(), hit.t.sum()
+
+    @jax.jit
+    def timed(key):
+        flat = scene.build(params)
+        ray = gen_rays(flat, key)
+        hit = ray_intersect_pallas_culled2(
+            flat.accel, sg(ray.o), sg(ray.d), jnp.ones(CHUNK, bool),
+            ray_block=RB, tri_block=T, sub_split=SS, front_to_back=True)
+        return hit.t.sum()
+
+    tiles_sum = float(jax.block_until_ready(count(jax.random.PRNGKey(0)))[0])
+    dt = _bench(timed, lambda i: (jax.random.PRNGKey(0),), n_iter=5)
+    pairs = tiles_sum * T * RB
+    flops_per_s = pairs * 60.0 / dt
+    peak = float(os.environ.get("PSDR_TPU_PEAK_FLOPS", 3.7e12))
+    print(json.dumps({"kernel_mfu_pct": 100.0 * flops_per_s / peak,
+                      "kernel_tflops": flops_per_s / 1e12}), flush=True)
+
+
 def main():
     if "--backward-child" in sys.argv:
         _backward_child()
+        return
+    if "--mfu-child" in sys.argv:
+        _mfu_child()
         return
 
     baselines = _baselines()
@@ -139,6 +234,26 @@ def main():
             "value": grad_samples_per_s,
             "unit": "grad-samples/s",
             "vs_baseline": grad_samples_per_s / bwd_base,
+        }), flush=True)
+
+    # roofline tracker (child process: the parent already ran a full-render
+    # program; rule 7 forbids a second one in-process)
+    mfu_child = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__), "--mfu-child"],
+        capture_output=True, text=True, timeout=3600)
+    mfu = None
+    for line in mfu_child.stdout.splitlines():
+        try:
+            mfu = json.loads(line).get("kernel_mfu_pct", mfu)
+        except (json.JSONDecodeError, AttributeError):
+            pass
+    if mfu is not None:
+        mfu_base = float(baselines.get("kernel_mfu_pct", 1.0))
+        print(json.dumps({
+            "metric": "kernel_mfu_pct",
+            "value": mfu,
+            "unit": "% of v5e VPU f32 peak",
+            "vs_baseline": mfu / mfu_base,
         }), flush=True)
 
 
