@@ -145,23 +145,140 @@ def discrete_pdf(d: Discrete, idx: jax.Array) -> jax.Array:
     return d.pmf[idx] / d.total
 
 
+class AliasTable(NamedTuple):
+    """O(1) alias-method sampler for big tables (Walker/Vose semantics).
+
+    One (N, 4) f32 row per cell: [q, pmf_self, pmf_alias, alias_index
+    bitcast to f32] — sampling is ONE narrow row gather + VPU selects,
+    replacing the blocked cmf binary search (1-2 wide row gathers) that
+    dominated envmap NEE sampling (BASELINE.md round 4: 53.7 ms/2M).
+
+    ``pmf`` is the EFFECTIVE per-cell probability mass the table actually
+    samples — recomputed from (q, alias) after construction — so the
+    estimator is unbiased by construction even if build rounding shifts
+    an assignment: pdf always describes exactly what sampling does.
+    Parity: replaces cube_distrb.cpp:41-62's cmf search for the envmap
+    grid; same sample_reuse contract (pmf.cpp:29-50).
+    """
+    packed: jax.Array    # (N, 4) f32
+    pmf: jax.Array       # (N,) effective pmf (input-mass scale)
+    total: jax.Array     # scalar
+
+    @property
+    def size(self) -> int:
+        return self.pmf.shape[0]
+
+
+def alias_table_host(mass) -> AliasTable:
+    """Host-side (numpy, f64) alias-table construction, O(N log N).
+
+    Vectorized prefix-sum formulation of Vose's two-pointer build, exact
+    in the following sense (derivation in docs/performance.md):
+    lights (w<1) and heavies (w>=1) are each kept in index order; with
+    D_i = prefix deficits over lights and E_j = prefix excesses over
+    heavies, light i's alias is heavy j where #{E < D_{i-1}} = j-1, and
+    heavy j flips with prob 1 - (G_j - E_j) where G_j = first D > E_j,
+    aliased to heavy j+1. The effective pmf is then recomputed from the
+    built (q, alias) table so f32 rounding can never bias sampling.
+    """
+    import numpy as np
+    mass = np.asarray(mass, np.float64).reshape(-1)
+    n = mass.size
+    total = mass.sum()
+    if not np.isfinite(total) or total <= 0.0:
+        mass = np.ones(n, np.float64)
+        total = float(n)
+    w = mass * (n / total)
+    q = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    li = np.nonzero(w < 1.0)[0]
+    hi = np.nonzero(w >= 1.0)[0]
+    if li.size and hi.size:
+        d = 1.0 - w[li]
+        D = np.cumsum(d)
+        E = np.cumsum(w[hi] - 1.0)
+        # lights: alias = the heavy active when this light is processed
+        k = np.searchsorted(E, D - d, side="left")
+        alias[li] = hi[np.minimum(k, hi.size - 1)]
+        q[li] = w[li]
+        # heavies: flip iff some light deficit crosses their excess prefix
+        m = np.searchsorted(D, E, side="right")
+        flips = m < li.size
+        G = D[np.minimum(m, li.size - 1)]
+        q[hi] = np.where(flips, np.clip(1.0 - (G - E), 0.0, 1.0), 1.0)
+        nxt = hi[np.minimum(np.arange(hi.size) + 1, hi.size - 1)]
+        alias[hi] = np.where(flips, nxt, hi)
+    # effective pmf: q_i + sum over cells aliased here of (1 - q)
+    eff = q.copy()
+    np.add.at(eff, alias, 1.0 - q)
+    pmf_eff = (eff * (total / n)).astype(np.float32)
+    packed = np.empty((n, 4), np.float32)
+    packed[:, 0] = q
+    packed[:, 1] = pmf_eff
+    packed[:, 2] = pmf_eff[alias]
+    packed[:, 3] = alias.astype(np.int32).view(np.float32)
+    return AliasTable(packed=packed, pmf=pmf_eff,
+                      total=np.float32(pmf_eff.sum()))
+
+
+def alias_sample_reuse(at: AliasTable, samples: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Same contract as ``discrete_sample_reuse``: (idx, pdf_normalized,
+    samples_remapped) — one uniform consumed, remainder recycled uniform.
+
+    Cell selection is EXACT fixed-point int32 arithmetic, not
+    ``floor(u * n)``: for n in the millions (reference-parity envmap
+    grids reach 8M cells) the f32 product quantizes to ~n/2^24-cell
+    steps, which measurably biased the sampled cell distribution (1.2%
+    scene-mean shift on bunny_env_2 at div=1). With k = floor(u * 2^24)
+    (exact: power-of-two scale) the cell is floor(k*n / 2^24), computed
+    overflow-free by 12-bit splits of both factors."""
+    n = at.size
+    assert n < (1 << 24), "alias tables support up to 2^24 cells"
+    u = jnp.clip(samples, 0.0, 1.0 - 1e-7)
+    ks = u * jnp.float32(1 << 24)
+    k = ks.astype(jnp.int32)                       # exact: 2^24 scale
+    u_res = ks - k.astype(ks.dtype)                # sub-quantum residual
+    k_hi, k_lo = k >> 12, k & 0xFFF
+    n_hi, n_lo = n >> 12, n & 0xFFF
+    L = k_lo * n_lo                                # < 2^24
+    M = k_hi * n_lo + k_lo * n_hi + (L >> 12)      # < 2^26
+    c = jnp.clip(k_hi * n_hi + (M >> 12), 0, n - 1)
+    mod24 = ((M & 0xFFF) << 12) | (L & 0xFFF)      # (k*n) mod 2^24
+    frac = (mod24.astype(jnp.float32) + u_res) * jnp.float32(1.0 / (1 << 24))
+    row = at.packed[c]                             # ONE (N, 4) row gather
+    q = row[..., 0]
+    al = jax.lax.bitcast_convert_type(row[..., 3], jnp.int32)
+    take_self = frac < q
+    idx = jnp.where(take_self, c, al)
+    pmf_i = jnp.where(take_self, row[..., 1], row[..., 2])
+    denom = jnp.where(take_self, q, 1.0 - q)
+    num = jnp.where(take_self, frac, frac - q)
+    remapped = jnp.clip(num / jnp.maximum(denom, 1e-12), 0.0, 1.0)
+    return idx, pmf_i / at.total, remapped
+
+
 class HyperCube(NamedTuple):
     """Piecewise-constant distribution over a regular n-D grid
     (cube_distrb.cpp:8-75). ``cells`` holds each flat cell's integer grid
-    coordinates; ``unit`` = 1/resolution.
+    coordinates; ``unit`` = 1/resolution. When ``alias`` is present it
+    replaces the cmf search (``distrb`` may then be None and ``cells``
+    an empty placeholder — the big-grid frozen-envmap path).
     """
-    distrb: Discrete
-    cells: jax.Array       # (num_cells, ndim) int32
+    distrb: Discrete | None
+    cells: jax.Array       # (num_cells, ndim) int32 (may be (0, ndim))
     resolution: jax.Array  # (ndim,) int32
     unit: jax.Array        # (ndim,) float32
+    alias: AliasTable | None = None
 
     @property
     def num_cells(self) -> int:
-        return self.cells.shape[0]
+        if self.distrb is not None:
+            return self.distrb.pmf.shape[0]
+        return self.alias.size
 
     @property
     def ndim(self) -> int:
-        return self.cells.shape[1]
+        return self.resolution.shape[0]
 
 
 def hypercube_cells(resolution) -> jax.Array:
@@ -204,7 +321,10 @@ def hypercube_sample_reuse(hc: HyperCube, samples: jax.Array) -> Tuple[jax.Array
     Picks a cell using the *last* component, then maps the remainder
     uniformly inside the cell (cube_distrb.cpp:41-50).
     """
-    idx, pdf, last = discrete_sample_reuse(hc.distrb, samples[..., -1])
+    if hc.alias is not None:
+        idx, pdf, last = alias_sample_reuse(hc.alias, samples[..., -1])
+    else:
+        idx, pdf, last = discrete_sample_reuse(hc.distrb, samples[..., -1])
     samples = jnp.concatenate([samples[..., :-1], last[..., None]], axis=-1)
     # arithmetic flat-index -> grid-coordinate decode (row-major, last dim
     # fastest — hypercube_cells layout) instead of a wavefront gather into
@@ -229,5 +349,8 @@ def hypercube_pdf(hc: HyperCube, p: jax.Array) -> jax.Array:
     for i in range(1, ndim):
         idx = idx * reso[i] + ip[..., i]
     idx = jnp.clip(idx, 0, hc.num_cells - 1)
-    pdf_norm = hc.distrb.pmf[idx] / hc.distrb.total
+    if hc.alias is not None:
+        pdf_norm = hc.alias.pmf[idx] / hc.alias.total
+    else:
+        pdf_norm = hc.distrb.pmf[idx] / hc.distrb.total
     return jnp.where(valid, pdf_norm * hc.num_cells, 0.0)

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 
 from ..core.constants import Epsilon, InvPi, InvTwoPi, Pi, TwoPi
 from ..core.bitmap import Bitmap, eval_bitmap, from_array
-from ..core.distribution import (HyperCube, hypercube_init, hypercube_pdf,
-                                 hypercube_sample_reuse)
+from ..core.distribution import (AliasTable, Discrete, HyperCube,
+                                 alias_table_host, hypercube_init,
+                                 hypercube_pdf, hypercube_sample_reuse)
 from ..core.math import (dot, normalize, rgb2luminance, safe_acos, safe_rsqrt,
                          safe_sqrt, sphdir, sqr, squared_norm,
                          ray_intersect_scene_aabb)
@@ -63,7 +64,78 @@ class EnvmapState(NamedTuple):
     upper: jax.Array
 
 
-def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array) -> EnvmapState:
+def _host_mass_grid(radiance, gw, gh, gw_f, gh_f):
+    """Numpy mirror of the in-jit mass build (bilinear fine-grid taps with
+    sin-theta weighting, max-pooled into the coarse grid when divided).
+    Runs at TRACE time from the host Scene's radiance snapshot, so the
+    per-frame render program carries the finished table as a constvar
+    instead of rebuilding the distribution every frame."""
+    import numpy as np
+    h, w, _ = radiance.shape
+    lum = (radiance[..., 0] * 0.2126 + radiance[..., 1] * 0.7152
+           + radiance[..., 2] * 0.0722).astype(np.float64)
+    # fine-grid cell centers, bilinear like core/bitmap.py (scale reso-1)
+    u = (np.arange(gw_f, dtype=np.float64) + 0.5) / gw_f
+    v = (np.arange(gh_f, dtype=np.float64) + 0.5) / gh_f
+    x = u * (w - 1)
+    y = v * (h - 1)
+    x0 = np.minimum(np.floor(x).astype(np.int64), w - 2)
+    y0 = np.minimum(np.floor(y).astype(np.int64), h - 2)
+    wx1 = x - x0
+    wy1 = y - y0
+    # (gw_f, gh_f): x-major to match hypercube flat order (x = i // gh)
+    l00 = lum[y0[None, :], x0[:, None]]
+    l10 = lum[y0[None, :], x0[:, None] + 1]
+    l01 = lum[y0[None, :] + 1, x0[:, None]]
+    l11 = lum[y0[None, :] + 1, x0[:, None] + 1]
+    val = ((1 - wx1)[:, None] * ((1 - wy1)[None, :] * l00 + wy1[None, :] * l01)
+           + wx1[:, None] * ((1 - wy1)[None, :] * l10 + wy1[None, :] * l11))
+    m_fine = val * np.sin((np.arange(gh_f) + 0.5) * (float(Pi) / gh_f))[None, :]
+    if (gw, gh) == (gw_f, gh_f):
+        return m_fine.reshape(-1)
+    # coarse: max-pool footprints (see the in-jit path's bias note)
+    cx = (np.arange(gw_f) * gw) // gw_f
+    cy = (np.arange(gh_f) * gh) // gh_f
+    pooled = np.zeros((gw, gh), np.float64)
+    np.maximum.at(pooled, (cx[:, None], cy[None, :]), m_fine)
+    return pooled.reshape(-1)
+
+
+# keyed by (id(radiance), shape, grid, kind): the radiance snapshot lives
+# on the host Scene object and is replaced (not mutated) on param updates
+_FROZEN_CACHE: dict = {}
+
+
+def _frozen_tables(host_radiance, gw, gh, gw_f, gh_f, kind: str):
+    """Host-side (f64 numpy) importance tables, built once per radiance
+    snapshot at TRACE time. kind="alias" -> AliasTable (opt-in; O(1)
+    sampling but ~1.7x NEE variance under the QMC sampler — measured
+    bunny_env_2 MIS, matched grid); kind="cmf" -> Discrete (monotone
+    inverse-CDF: keeps QMC stratification; freezing only removes the
+    per-frame in-jit mass/cumsum build)."""
+    import numpy as np
+    key = (id(host_radiance), host_radiance.shape, gw, gh, kind)
+    hit = _FROZEN_CACHE.get(key)
+    if hit is None:
+        mass = _host_mass_grid(host_radiance, gw, gh, gw_f, gh_f)
+        if kind == "alias":
+            hit = alias_table_host(mass)
+        else:
+            total = mass.sum()
+            if not np.isfinite(total) or total <= 0.0:
+                mass = np.ones_like(mass)
+            pmf = mass.astype(np.float32)
+            cmf = np.maximum.accumulate(
+                np.cumsum(mass).astype(np.float32))
+            hit = Discrete(pmf=pmf, cmf=cmf, total=cmf[-1])
+        if len(_FROZEN_CACHE) > 8:
+            _FROZEN_CACHE.clear()
+        _FROZEN_CACHE[key] = hit
+    return hit
+
+
+def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array,
+                     host_radiance=None) -> EnvmapState:
     data = params["radiance"]
     h, w = data.shape[0], data.shape[1]
     gw_f, gh_f = (w - 1) * 2, (h - 1) * 2
@@ -79,11 +151,50 @@ def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array) -> Envmap
     # PSDR_TPU_ENV_RESO_DIV=1 restores exact reference-parity resolution;
     # small grids (<= 2^18 cells, incl. every test envmap) never divide.
     import os as _os
-    div = max(1, int(_os.environ.get("PSDR_TPU_ENV_RESO_DIV", "4")))
+    # Large grids with a host radiance snapshot freeze the importance
+    # table at TRACE time (jit constvar): zero per-frame build cost.
+    # Two frozen kinds:
+    #   PSDR_TPU_ENV_ALIAS=1 (OPT-IN): O(1) alias-method sampling —
+    #     grid-size-independent search, but the non-monotone u->cell map
+    #     destroys the (0,2)-sequence stratification: measured 1.73x NEE
+    #     variance on bunny_env_2 MIS at a matched grid (round 5), an
+    #     equal-quality LOSS. Kept available + test-pinned (camera_hit_
+    #     prior precedent); alias defaults to the reference-parity div=1
+    #     grid since its cost no longer scales with cells.
+    #   default: frozen cmf (monotone inverse-CDF keeps QMC
+    #     stratification; sampling cost unchanged, per-frame mass build
+    #     + cumsum removed). div=4 default as before.
+    # PSDR_TPU_ENV_RESO_DIV always wins when set explicitly.
+    use_alias = (host_radiance is not None
+                 and gw_f * gh_f > (1 << 15)
+                 and _os.environ.get("PSDR_TPU_ENV_ALIAS", "0") == "1")
+    use_frozen_cmf = (not use_alias and host_radiance is not None
+                      and gw_f * gh_f > (1 << 15)
+                      and _os.environ.get("PSDR_TPU_ENV_FROZEN", "1") == "1")
+    div_default = "1" if use_alias else "4"
+    div = max(1, int(_os.environ.get("PSDR_TPU_ENV_RESO_DIV", div_default)))
     gw, gh = gw_f, gh_f
     if div > 1 and gw_f * gh_f > (1 << 18):
         gw, gh = max(128, gw_f // div), max(64, gh_f // div)
-    if (gw, gh) == (gw_f, gh_f):
+    if use_alias:
+        at = _frozen_tables(host_radiance, gw, gh, gw_f, gh_f, "alias")
+        hc = HyperCube(
+            distrb=None,
+            cells=jnp.zeros((0, 2), jnp.int32),
+            resolution=jnp.asarray((gw, gh), jnp.int32),
+            unit=1.0 / jnp.asarray((gw, gh), jnp.float32),
+            alias=AliasTable(packed=jnp.asarray(at.packed),
+                             pmf=jnp.asarray(at.pmf),
+                             total=jnp.asarray(at.total)))
+    elif use_frozen_cmf:
+        d = _frozen_tables(host_radiance, gw, gh, gw_f, gh_f, "cmf")
+        hc = HyperCube(
+            distrb=Discrete(pmf=jnp.asarray(d.pmf), cmf=jnp.asarray(d.cmf),
+                            total=jnp.asarray(d.total)),
+            cells=jnp.zeros((0, 2), jnp.int32),
+            resolution=jnp.asarray((gw, gh), jnp.int32),
+            unit=1.0 / jnp.asarray((gw, gh), jnp.float32))
+    elif (gw, gh) == (gw_f, gh_f):
         # reference-parity grid: one bilinear tap per (half-texel) cell
         # center, exactly envmap.cpp:14-26
         hc = hypercube_init((gw, gh))
@@ -109,7 +220,8 @@ def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array) -> Envmap
         pooled = jax.ops.segment_max(m_fine, cx, num_segments=gw)        # (gw, gh_f)
         pooled = jax.ops.segment_max(pooled.T, cy, num_segments=gh).T    # (gw, gh)
         mass = pooled.reshape(gw * gh)
-    hc = hypercube_init((gw, gh), mass)
+    if not use_alias and not use_frozen_cmf:
+        hc = hypercube_init((gw, gh), mass)
     to_world = params["to_world"]
     return EnvmapState(data=data, scale=params["scale"], to_world=to_world,
                        from_world=jnp.linalg.inv(to_world),

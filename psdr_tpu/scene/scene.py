@@ -341,7 +341,17 @@ class Scene:
             margin = jnp.min((upper - lower) * 0.05)
             lower = lower - margin
             upper = upper + margin
-            envmap = configure_envmap(params["emitters"][env_idx], lower, upper)
+            # host radiance snapshot (numpy on the Scene object) lets
+            # configure_envmap freeze the O(1) alias importance table at
+            # TRACE time — zero per-frame cost; unbiased even when the
+            # snapshot lags optimized radiance params, because the stored
+            # pdf always equals what the frozen table actually samples
+            import numpy as _np
+            _env_data = self.emitters[env_idx].radiance.data
+            host_rad = (_np.asarray(_env_data)
+                        if not isinstance(_env_data, jax.core.Tracer) else None)
+            envmap = configure_envmap(params["emitters"][env_idx], lower, upper,
+                                      host_radiance=host_rad)
             corners = jnp.stack(
                 [jnp.stack([jnp.where(i & (1 << j), upper[j], lower[j])
                             for j in range(3)]) for i in range(8)])

@@ -377,3 +377,54 @@ def test_tile_pos_to_pixel_matches_table():
         assert arith is not None
         assert np.array_equal(np.asarray(arith), tiled_pixel_order(w, h))
     assert tile_pos_to_pixel(jnp.arange(4), 48, 48) is None
+
+
+def test_alias_table_effective_pmf_matches_input():
+    """Host alias construction: the recomputed effective pmf must equal the
+    input pmf to f64 rounding (validity of the prefix-sum Vose build),
+    including spiky masses, zeros, and near-uniform ties."""
+    from psdr_tpu.core.distribution import alias_table_host
+    rng = np.random.default_rng(3)
+    for pmf in [
+        rng.random(257).astype(np.float64),
+        np.concatenate([np.zeros(100), [1e6], rng.random(57), np.zeros(30)]),
+        np.ones(512),
+        np.concatenate([np.full(5, 1e-12), [1.0]]),
+    ]:
+        at = alias_table_host(pmf)
+        total = pmf.sum() if pmf.sum() > 0 else len(pmf)
+        ref = (pmf if pmf.sum() > 0 else np.ones_like(pmf)) / total
+        got = np.asarray(at.pmf, np.float64) / np.asarray(at.total, np.float64)
+        assert np.abs(got - ref).max() < 1e-6, np.abs(got - ref).max()
+        q = np.asarray(at.packed[:, 0])
+        assert (q >= 0).all() and (q <= 1).all()
+        al = np.asarray(at.packed[:, 3]).view(np.int32)
+        assert (al >= 0).all() and (al < len(pmf)).all()
+
+
+def test_alias_sample_reuse_exact_frequencies_and_uniform_remap():
+    """A dense deterministic u-sweep must hit each cell with frequency equal
+    to the table's effective pmf (exactly, up to grid quantization), and the
+    remapped residual must stay uniform — the sample_reuse contract."""
+    from psdr_tpu.core.distribution import (alias_table_host,
+                                            alias_sample_reuse)
+    import jax.numpy as jnp
+    pmf = np.array([0.05, 0.3, 0.0, 0.15, 0.4, 0.1], np.float64)
+    at_np = alias_table_host(pmf)
+    at = jax.tree.map(jnp.asarray, at_np)
+    M = 1 << 20
+    u = (np.arange(M) + 0.5) / M
+    idx, pdf, rem = jax.jit(alias_sample_reuse)(at, jnp.asarray(u, jnp.float32))
+    idx, pdf, rem = map(np.asarray, (idx, pdf, rem))
+    freq = np.bincount(idx, minlength=6) / M
+    eff = np.asarray(at_np.pmf, np.float64) / np.asarray(at_np.total)
+    assert np.abs(freq - eff).max() < 2e-5, np.abs(freq - eff).max()
+    # pdf returned must equal the effective pmf of the chosen cell
+    assert np.abs(pdf - eff[idx]).max() < 1e-6
+    # remapped residual: uniform on [0,1) per chosen cell
+    for i in range(6):
+        r = rem[idx == i]
+        if r.size > 1000:
+            assert abs(r.mean() - 0.5) < 5e-3
+            assert abs(np.mean(r < 0.25) - 0.25) < 5e-3
+    assert (rem >= 0).all() and (rem <= 1).all()

@@ -123,3 +123,38 @@ def test_roughconductor_under_envmap():
     img = _avg(DirectIntegrator(1, 1), sc, seeds=3)
     assert np.all(np.isfinite(img))
     assert img.mean() > 0.005
+
+
+def test_alias_and_cmf_envmap_estimators_agree(monkeypatch):
+    """Large envmap grids freeze an O(1) alias importance table at trace
+    time; light-only estimates through the alias path must agree with the
+    cmf-search path (both unbiased for the same radiance)."""
+    sky = _gradient_sky(h=160, w=320)       # fine grid 202k cells > 2^15
+    sky[40, 200] *= 400.0                   # concentrated feature
+    def build():
+        sc = Scene()
+        b = sc.add_bsdf(Diffuse([0.7, 0.7, 0.7]), "mat")
+        sc.add_mesh(primitives.make_icosphere(subdiv=2, radius=1.0, bsdf_id=b))
+        sc.add_emitter(EnvironmentMap(sky, scale=1.0))
+        cam = PerspectiveCamera(fov_x=40.0)
+        cam.set_transform(np.asarray(xf.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0])))
+        sc.add_sensor(cam)
+        sc.opts = RenderOptions(width=16, height=16, spp=64)
+        return sc
+
+    monkeypatch.setenv("PSDR_TPU_ENV_ALIAS", "1")
+    sc = build()
+    flat = sc.build(sc.params())
+    assert flat.envmap.cell_distrb.alias is not None, \
+        "expected the frozen alias path for a 202k-cell grid"
+    img_alias = _avg(DirectIntegrator(0, 1), sc, seeds=6)
+
+    monkeypatch.setenv("PSDR_TPU_ENV_ALIAS", "0")
+    sc2 = build()
+    flat2 = sc2.build(sc2.params())
+    assert flat2.envmap.cell_distrb.alias is None
+    img_cmf = _avg(DirectIntegrator(0, 1), sc2, seeds=6)
+
+    assert np.all(np.isfinite(img_alias)) and np.all(np.isfinite(img_cmf))
+    m_a, m_c = img_alias.mean(), img_cmf.mean()
+    assert abs(m_a - m_c) < 0.05 * max(m_a, m_c), (m_a, m_c)
