@@ -188,11 +188,15 @@ def test_multihost_two_process_smoke(tmp_path):
     a, b = (np.load(o) for o in outs)
     np.testing.assert_array_equal(a["img"], b["img"])
     np.testing.assert_array_equal(a["grad_to_world"], b["grad_to_world"])
+    np.testing.assert_array_equal(a["step_to_world"], b["step_to_world"])
+    np.testing.assert_array_equal(a["step_loss"], b["step_loss"])
 
     # serial emulation of the same 4-device math in this process
-    sc = cbox_scene(width=16, height=16, spp=4, sppe=0, sppse=0)
+    # (boundary terms ON — edge lanes crossed the process boundary too)
+    sc = cbox_scene(width=16, height=16, spp=4, sppe=4, sppse=8)
     integrator = DirectIntegrator(bsdf_samples=1, light_samples=1)
-    render = _serial_reference(integrator, sc, 4, "budget")
+    render = _serial_reference(integrator, sc, 4, "budget",
+                               with_boundary=True)
     params = sc.params()
     key = jax.random.PRNGKey(7)
     img_ref = np.asarray(jax.jit(render)(params, key))
@@ -203,6 +207,20 @@ def test_multihost_two_process_smoke(tmp_path):
     scale = max(np.abs(g_ref).max(), 1e-12)
     np.testing.assert_allclose(a["grad_to_world"], g_ref,
                                rtol=5e-4, atol=5e-5 * scale)
+
+    # the cross-process overlapped train step must match the identical
+    # 4-device math run in ONE process (multi-host == single-host)
+    import optax
+    mesh = device_mesh(4)
+    target = jnp.zeros((sc.opts.num_pixels, 3), jnp.float32)
+    step, st = make_train_step(integrator, sc, mesh, target,
+                               optimizer=optax.sgd(1.0), overlap=True)
+    p1, _, l1 = step(params, st, key)
+    ref_tw = np.asarray(p1["meshes"][0]["to_world"], np.float64)
+    scale = max(np.abs(ref_tw).max(), 1e-12)
+    np.testing.assert_allclose(a["step_to_world"], ref_tw,
+                               rtol=5e-4, atol=5e-5 * scale)
+    np.testing.assert_allclose(float(a["step_loss"]), float(l1), rtol=1e-4)
 
 
 def test_overlap_train_step_matches_baseline(scene):
