@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/reference/examples/data/scenes"
 SCENES = ("cbox_bunny.xml", "cbox_bunny_mutiemitter.xml", "tree.xml",
-          "bunny_env_2.xml")
+          "bunny_env.xml", "bunny_env_2.xml")
 SPP = 64
 
 
@@ -33,6 +33,20 @@ def child(name: str) -> None:
     xml = xml.replace("./data", BASE + "/..")
     xml = xml.replace("bunny/bunny.obj", "bunny/bunny_low.obj")
     sc = load_string(xml, base_dir=BASE)
+    if name == "bunny_env.xml":
+        # same missing-asset substitution: normalize bunny_low to a
+        # unit-height bunny (the committed asset spans ~2300 world units;
+        # the intended bunny.obj is unit-scale) so the XML's scale-40 /
+        # translate(20,-50) lands a visible bunny in the fov-25 frustum
+        import numpy as np
+        for m in sc.meshes:
+            if m.num_faces > 100:
+                v = np.asarray(m.vertex_positions, np.float32)
+                lo, hi = v.min(0), v.max(0)
+                v = v / max(hi[1] - lo[1], 1e-6)
+                lo, hi = v.min(0), v.max(0)
+                v -= (lo + hi) / 2
+                m.vertex_positions = v
     if name.startswith("cbox_bunny"):
         # bunny.obj is not committed upstream; raw bunny_low spans ~2300
         # world units under the XML's scale-35 transform and engulfs the

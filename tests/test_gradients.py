@@ -262,3 +262,26 @@ def test_inplane_translate_interior_gradient_is_zero():
     g_wall = jax.jacfwd(lambda P: img_tw(P, 3, (1.0, 0.0, 0.0)))(
         jnp.float32(0.0))
     assert float(jnp.abs(g_wall).max()) > 1e-3
+
+
+def test_north_star_gradient_pin_1e4():
+    """BASELINE.json's north-star gradient bar: "matching gradients to
+    1e-4". Smooth interior config (light translated toward its plane
+    normal component -> smooth irradiance change) with common random
+    numbers: AD and central FD agree to ~8e-5 relative (measured); pinned
+    at 2e-4 with margin. Any regression in the differentiable build ->
+    render -> recompute chain (J factors, masked divisions, detach
+    placement) breaks this long before the 5% smoke tolerances."""
+    sc = _floor_light_scene(width=16, height=16, spp=16)
+    shift = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+
+    def perturb(params, P):
+        mp = params["meshes"][1]
+        params["meshes"][1] = {
+            "vertex_positions": mp["vertex_positions"] + P * shift,
+            "to_world": mp["to_world"]}
+        return params
+
+    ad, fd = ad_vs_fd(sc, perturb, DirectIntegrator(0, 1), eps=1e-2)
+    rel = np.abs(ad - fd).max() / (np.abs(fd).max() + 1e-12)
+    assert rel < 2e-4, f"north-star gradient agreement degraded: {rel:.2e}"
