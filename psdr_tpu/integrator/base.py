@@ -198,6 +198,13 @@ class Integrator:
                      and a > 1)
         strat = (a, spp // a) if use_strat else None
 
+        # pixel-aligned chunking (every chunk holds whole pixels) is what
+        # makes per-pixel stratum reshapes valid downstream (NEE
+        # visibility reuse, direct.py _nee_visibility)
+        start0, count0 = (0, n) if shard is None else shard_lane_range(n, shard)
+        vis_aligned = (min(opts.pass_lanes, count0) % spp == 0
+                       and count0 % spp == 0 and start0 % spp == 0)
+
         def lane_values(lane, key_c, prior_rows_c=None):
             pos = jnp.minimum(lane // spp, num_pixels - 1)
             idx_arith = tile_pos_to_pixel(pos, opts.width, opts.height)
@@ -206,6 +213,8 @@ class Integrator:
                               (idx // opts.width).astype(jnp.float32)],
                              axis=-1)
             rng = RngStream(key_c, salt=0)
+            if vis_aligned:
+                rng.vis_spp = spp
             m = lane.shape[0]
             jitter = rng.next_2d(m)
             if use_sobol:

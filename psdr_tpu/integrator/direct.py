@@ -244,9 +244,14 @@ class DirectIntegrator(Integrator):
             # (bunny_env NEE frame 2.51 -> 1.89 s on v5e); area-light-only
             # scenes keep the cheaper unsorted sweep (their shadow rays
             # already point at the light; sorting measured a loss on cbox)
-            occluded = ray_test(flat, Ray(its.p, wo), dist, active1,
-                                sort_rays=flat.envmap is not None)
-            active1 = active1 & ~occluded
+            vis = self._nee_visibility(flat, rng, its.p, wo, dist, active1,
+                                       n)
+            if vis is None:
+                occluded = ray_test(flat, Ray(its.p, wo), dist, active1,
+                                    sort_rays=flat.envmap is not None)
+                active1 = active1 & ~occluded
+            else:
+                active1 = active1 & (vis != 0.0)
 
             le = jnp.where((ps.emitter >= 0)[..., None],
                            select_rows(flat.emitter_radiance,
@@ -270,9 +275,40 @@ class DirectIntegrator(Integrator):
                 w_den = w_num + sqr(pdf1)
                 weight = weight * _mdiv(w_num, w_den, active1 & (w_den > 0.0))
             contrib = le * bsdf_val * weight[..., None]
+            if vis is not None:
+                contrib = contrib * vis[..., None]
             result = result + jnp.where(active1[..., None], contrib, 0.0)
 
         return result
+
+    def _nee_visibility(self, flat, rng, p, wo, dist, active1, n):
+        """Unbiased visibility reuse across a pixel's spp strata
+        (PSDR_TPU_VIS_REUSE_Q > 0, area-light scenes, pixel-aligned
+        chunks): all strata of a pixel shade nearly the same point toward
+        the same small light, so their occlusion results are highly
+        correlated. Control-variate estimator: stratum 0 always traces
+        (V_ref); every other stratum traces with probability q and uses
+        V_hat = V_ref + (V - V_ref) * B/q  — exactly unbiased
+        (E[V_hat] = V per lane, for ANY V_ref including an untraced/
+        inactive stratum 0 where V_ref = 0), cutting traced shadow lanes
+        to ~1/spp + q. The traced subset runs the compacted sparse sweep.
+        Extra variance is confined to penumbra lanes (V != V_ref).
+        Returns per-lane float visibility, or None -> caller's plain path.
+        """
+        q = float(os.environ.get("PSDR_TPU_VIS_REUSE_Q", "0"))
+        spp = getattr(rng, "vis_spp", None)
+        if (q <= 0.0 or not spp or spp <= 1 or n % spp
+                or flat.envmap is not None or self.light_samples != 1):
+            return None
+        s_idx = jnp.arange(n, dtype=jnp.int32) % spp
+        first = s_idx == 0
+        bern = rng.next_1d(n) < q
+        do_trace = active1 & (first | bern)
+        occ = ray_test(flat, Ray(p, wo), dist, do_trace, sparse=True)
+        V = jnp.where(do_trace, 1.0 - occ.astype(jnp.float32), 0.0)
+        V_ref = jnp.repeat(V.reshape(n // spp, spp)[:, 0], spp)
+        corr = jnp.where(bern, (V - V_ref) * (1.0 / q), 0.0)
+        return jnp.where(first, V, V_ref + corr)
 
     # -- secondary boundary (direct.cpp:207-316) -------------------------------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,
