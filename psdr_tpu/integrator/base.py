@@ -200,10 +200,15 @@ class Integrator:
 
         # pixel-aligned chunking (every chunk holds whole pixels) is what
         # makes per-pixel stratum reshapes valid downstream (NEE
-        # visibility reuse, direct.py _nee_visibility)
+        # visibility reuse, direct.py _nee_visibility). The shard start
+        # may be a TRACED device index * count — alignment must be decided
+        # statically, and start = d*count is spp-aligned for every d iff
+        # count is.
         start0, count0 = (0, n) if shard is None else shard_lane_range(n, shard)
+        start_ok = (start0 % spp == 0 if isinstance(start0, int)
+                    else count0 % spp == 0)
         vis_aligned = (min(opts.pass_lanes, count0) % spp == 0
-                       and count0 % spp == 0 and start0 % spp == 0)
+                       and count0 % spp == 0 and start_ok)
 
         def lane_values(lane, key_c, prior_rows_c=None):
             pos = jnp.minimum(lane // spp, num_pixels - 1)

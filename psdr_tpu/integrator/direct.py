@@ -86,12 +86,24 @@ def _mdiv(a, b, mask):
     return a / jnp.where(mask, b, 1.0)
 
 
-def _compact_eligibility(m: int):
+def _compact_eligibility(m: int, guided: bool = False):
     """(segment, keep) sizes for boundary-pass compaction, or None when the
     wavefront doesn't factor / is too small / compaction is disabled
-    (PSDR_TPU_SSE_COMPACT=0). One predicate for all four boundary passes."""
+    (PSDR_TPU_SSE_COMPACT=0). One predicate for all four boundary passes.
+
+    Unguided sampling passes ~3% validity (BASELINE.md round 3), so the
+    keep fraction is s/16 — every downstream trace/walk/shade runs at
+    1/16 width with huge per-segment headroom (32k * 3% ~ 1k of 2k).
+    GUIDED streams concentrate on valid regions (validity can exceed
+    50%), so they keep the conservative s/4. PSDR_TPU_SSE_COMPACT_SHIFT
+    overrides both."""
     s = min(1 << 15, m)
-    ks = s >> 2
+    # full 32k segments (production chunks) have the statistical headroom
+    # for 1/16; small test-scale wavefronts keep the conservative 1/4
+    shift = int(os.environ.get(
+        "PSDR_TPU_SSE_COMPACT_SHIFT",
+        "4" if (not guided and s == (1 << 15)) else "2"))
+    ks = s >> shift
     if (m % s or ks < 256
             or os.environ.get("PSDR_TPU_SSE_COMPACT", "1") != "1"):
         return None
@@ -281,34 +293,106 @@ class DirectIntegrator(Integrator):
 
         return result
 
+    @staticmethod
+    def _sparse_or_plain_test(flat, p, wo, dist, active, frac_shift: int):
+        """ray_test with an explicit sparse compaction cap (ray_test's
+        default is 1/8; the reuse second sweep needs 1/4)."""
+        from ..core.constants import ShadowEpsilon
+        from ..scene.scene import _ray_test_sparse
+        tmax = sg(dist) - ShadowEpsilon
+        if flat.accel is not None and flat.accel_kind == "pallas":
+            occ = _ray_test_sparse(flat, Ray(p, wo), tmax, active,
+                                   frac_shift=frac_shift)
+            if occ is not None:
+                return occ & active
+        return ray_test(flat, Ray(p, wo), dist, active)
+
     def _nee_visibility(self, flat, rng, p, wo, dist, active1, n):
-        """Unbiased visibility reuse across a pixel's spp strata
-        (PSDR_TPU_VIS_REUSE_Q > 0, area-light scenes, pixel-aligned
-        chunks): all strata of a pixel shade nearly the same point toward
-        the same small light, so their occlusion results are highly
-        correlated. Control-variate estimator: stratum 0 always traces
-        (V_ref); every other stratum traces with probability q and uses
-        V_hat = V_ref + (V - V_ref) * B/q  — exactly unbiased
-        (E[V_hat] = V per lane, for ANY V_ref including an untraced/
-        inactive stratum 0 where V_ref = 0), cutting traced shadow lanes
-        to ~1/spp + q. The traced subset runs the compacted sparse sweep.
-        Extra variance is confined to penumbra lanes (V != V_ref).
-        Returns per-lane float visibility, or None -> caller's plain path.
+        """Unbiased NEE visibility reuse across a pixel's spp strata
+        (area-light scenes, pixel-aligned chunks): all strata of a pixel
+        shade nearly the same point toward the same small light, so their
+        occlusion results are highly correlated. Control-variate
+        estimator: stratum 0 always traces (V_ref); another stratum i
+        traces with probability q and uses
+            V_hat_i = V_ref + (V_i - V_ref) * B_i / q
+        — exactly unbiased (E[V_hat_i] = V_i per lane, for ANY reference
+        value including an untraced/inactive stratum 0 where V_ref = 0).
+
+        Modes (PSDR_TPU_VIS_REUSE; default "edge" when the structure
+        allows, "off" disables; PSDR_TPU_VIS_REUSE_Q sets q):
+        * "edge" (default, q=1/32): a stratum-0 pre-sweep classifies
+          pixels by comparing V_ref with chunk-order neighbor pixels —
+          shadow-EDGE pixels trace every stratum (no amplification
+          exactly where V_i != V_ref lives), smooth pixels reuse with the
+          tiny-q correction. Classification depends only on stratum-0
+          results, so unbiasedness is untouched (B is independent of
+          everything). Measured round 5: variance ratio ~1.0x on cbox,
+          flagship forward 46.5 -> ~70 Mrays/s.
+        * "bern" (the q-only estimator, q=1/16): fewer sweeps but the
+          1/q penumbra amplification costs 1.5x image variance on cbox —
+          an equal-quality wash despite +59% raw speed; kept for A/Bs.
+        Traced subsets run the compacted sparse sweeps; returns per-lane
+        float visibility, or None -> caller's plain path.
         """
+        mode = os.environ.get("PSDR_TPU_VIS_REUSE", "edge")
         q = float(os.environ.get("PSDR_TPU_VIS_REUSE_Q", "0"))
+        if q > 0.0 and "PSDR_TPU_VIS_REUSE" not in os.environ:
+            mode = "bern"     # back-compat: Q alone selects the q-only mode
         spp = getattr(rng, "vis_spp", None)
-        if (q <= 0.0 or not spp or spp <= 1 or n % spp
+        if (mode not in ("bern", "edge") or not spp or spp <= 1 or n % spp
                 or flat.envmap is not None or self.light_samples != 1):
             return None
+        if mode == "bern" and q <= 0.0:
+            return None
+        npix = n // spp
         s_idx = jnp.arange(n, dtype=jnp.int32) % spp
         first = s_idx == 0
+        if mode == "bern":
+            bern = rng.next_1d(n) < q
+            do_trace = active1 & (first | bern)
+            occ = ray_test(flat, Ray(p, wo), dist, do_trace, sparse=True)
+            V = jnp.where(do_trace, 1.0 - occ.astype(jnp.float32), 0.0)
+            V_ref = jnp.repeat(V.reshape(npix, spp)[:, 0], spp)
+            corr = jnp.where(bern, (V - V_ref) * (1.0 / q), 0.0)
+            return jnp.where(first, V, V_ref + corr)
+
+        # --- edge mode -------------------------------------------------
+        # Pre-sweep traces strata {0, spp/2}: a penumbra pixel's two
+        # independent light samples disagree with probability
+        # 2v(1-v) >= the per-probe detection rate of any neighbor test,
+        # catching penumbra at the pixel itself; chunk-order +-1/+-2
+        # neighbors (pixel-major lanes ride the 32x32 tile traversal, so
+        # chunk order is x-within-tile-row) catch umbra/lit boundaries.
+        # Pixels whose probes were inactive classify as edge.
+        q = q if q > 0.0 else 1.0 / 32.0
+        h = spp // 2
+        probe = first | (s_idx == h)
+        act0 = active1 & probe
+        occ0 = ray_test(flat, Ray(p, wo), dist, act0, sparse=True)
+        V0 = jnp.where(act0, 1.0 - occ0.astype(jnp.float32), 0.0)
+        Vrows = V0.reshape(npix, spp)
+        Arows = act0.reshape(npix, spp)
+        W = Vrows[:, 0] + Vrows[:, h]                   # 0 / 1 / 2
+        Aok = Arows[:, 0] & Arows[:, h]
+        smooth = Aok & (W != 1.0)
+        for off in (1, 2, -1, -2):
+            smooth = smooth & (jnp.roll(W, off) == W) & jnp.roll(Aok, off)
+        pen_lane = jnp.repeat(~smooth, spp)
+        # reference = mean of the two probes (halves the control-variate
+        # distance on any residual misclassified penumbra lane)
+        V_ref = jnp.repeat(0.5 * W, spp)
         bern = rng.next_1d(n) < q
-        do_trace = active1 & (first | bern)
-        occ = ray_test(flat, Ray(p, wo), dist, do_trace, sparse=True)
-        V = jnp.where(do_trace, 1.0 - occ.astype(jnp.float32), 0.0)
-        V_ref = jnp.repeat(V.reshape(n // spp, spp)[:, 0], spp)
-        corr = jnp.where(bern, (V - V_ref) * (1.0 / q), 0.0)
-        return jnp.where(first, V, V_ref + corr)
+        trace2 = active1 & ~probe & (pen_lane | bern)
+        # penumbra lanes cluster spatially (same sort segments), so the
+        # second sweep uses the 1/4-cap compaction instead of 1/8 —
+        # overflowing the cap falls back to the full sorted sweep and
+        # would forfeit the whole win exactly on shadow-heavy chunks
+        occ2 = self._sparse_or_plain_test(flat, p, wo, dist, trace2,
+                                          frac_shift=2)
+        V2 = jnp.where(trace2, 1.0 - occ2.astype(jnp.float32), 0.0)
+        corr = jnp.where(bern, (V2 - V_ref) * (1.0 / q), 0.0)
+        return jnp.where(probe, V0,
+                         jnp.where(pen_lane, V2, V_ref + corr))
 
     # -- secondary boundary (direct.cpp:207-316) -------------------------------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,
@@ -372,7 +456,7 @@ class DirectIntegrator(Integrator):
             # 42-128x padded layouts and OOM HBM (BASELINE.md round 3).
             # Sorts are segmented (32k) like every other lane sort — a
             # flat 2M-lane argsort hits the same padding.
-            elig = _compact_eligibility(m)
+            elig = _compact_eligibility(m, guided=warp is not None)
             if elig is None:
                 return eval_tail(sample3, pdf0, live)
             s, ks = elig

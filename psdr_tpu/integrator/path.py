@@ -357,7 +357,7 @@ class PathTracer(Integrator):
             else:
                 pdf0 = jnp.ones((m,), jnp.float32)
             live = lane < n
-            elig = _compact_eligibility(m)
+            elig = _compact_eligibility(m, guided=warp is not None)
             if elig is None:
                 return eval_tail(sample3, pdf0, live, rng)
             s, ks = elig
@@ -698,7 +698,7 @@ class PathTracer(Integrator):
             else:
                 pdf0 = jnp.ones((m,), jnp.float32)
             live = lane < n
-            elig = _compact_eligibility(m)
+            elig = _compact_eligibility(m, guided=warp is not None)
             if elig is None:
                 return eval_tail(sample3, pdf0, live, rng)
             s, ks = elig

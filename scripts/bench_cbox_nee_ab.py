@@ -68,11 +68,16 @@ def setup():
 
     scene = build_scene()
     params = scene.params()
+    # PSDR_NEE_CHUNK_OFF picks which pass chunk of the 16.7M-lane frame
+    # the probe reproduces: 0 = top-left image region (ceiling-heavy,
+    # side gates kill ~90% of NEE lanes), 3 = center (the occluder's
+    # shadow region - representative of the shadowed floor)
+    off = int(os.environ.get("PSDR_NEE_CHUNK_OFF", "0")) * CHUNK
 
     @jax.jit
     def f(key):
         flat = scene.build(params)
-        lane = jnp.arange(CHUNK, dtype=jnp.int32)
+        lane = off + jnp.arange(CHUNK, dtype=jnp.int32)
         idx = tile_pos_to_pixel(lane // SPP, WIDTH, HEIGHT)
         base = jnp.stack([(idx % WIDTH).astype(jnp.float32),
                           (idx // WIDTH).astype(jnp.float32)], axis=-1)

@@ -16,7 +16,16 @@ sys.path.insert(0, os.path.join(
 
 
 def child(q: str) -> None:
-    os.environ["PSDR_TPU_VIS_REUSE_Q"] = q
+    # "<mode>" or "<mode>:<q>"; bare floats keep the old bern meaning
+    if ":" in q:
+        mode, qq = q.split(":")
+        os.environ["PSDR_TPU_VIS_REUSE"] = mode
+        if qq:
+            os.environ["PSDR_TPU_VIS_REUSE_Q"] = qq
+    elif q in ("off", "edge", "bern"):
+        os.environ["PSDR_TPU_VIS_REUSE"] = q
+    else:
+        os.environ["PSDR_TPU_VIS_REUSE_Q"] = q
     import jax
     from psdr_tpu import DirectIntegrator
     from scenes import cbox_scene
@@ -40,9 +49,11 @@ def child(q: str) -> None:
 
 
 def main():
-    for q in ("0", "0.0625", "0.125"):
+    variants = sys.argv[1:] if len(sys.argv) > 1 else (
+        "off", "edge", "bern:0.0625")
+    for q in variants:
         r = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__), q],
+            [sys.executable, "-u", os.path.abspath(__file__), "--child", q],
             capture_output=True, text=True, timeout=3600)
         out = [l for l in r.stdout.splitlines() if l.startswith("{")]
         print(out[0] if out else f"q={q} FAILED\n{r.stdout[-300:]}"
@@ -50,7 +61,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        child(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2])
     else:
         main()
