@@ -107,10 +107,13 @@ def main():
     truth = sc.params()
     v_true = jnp.asarray(truth["meshes"][OCCLUDER]["vertex_positions"])
 
-    # target images at ground truth, one per view (independent noise)
+    # target images at ground truth, one per view (independent noise);
+    # jitted one-program renders (eager radiance_image would dispatch
+    # hundreds of ops through the TPU tunnel)
     t_build0 = time.perf_counter()
-    targets = [np.asarray(integ.radiance_image(
-        sc, sc.build(truth), s, jax.random.PRNGKey(1000 + s), False))
+    targets = [np.asarray(jax.jit(integ.render_fn(
+        sc, s, with_boundary=False, detached=True))(
+            truth, jax.random.PRNGKey(1000 + s)))
         for s in range(sc.num_sensors)]
     t_targets = time.perf_counter() - t_build0
 

@@ -436,18 +436,52 @@ class Integrator:
             return self.radiance_image(scene, flat, sensor_id, key, with_boundary)
         return f
 
+    def _jit_radiance(self, scene: Scene, sensor_id: int,
+                      with_boundary: bool):
+        """Per-integrator jit cache: an eager radiance_image dispatches
+        hundreds of individual ops, each a ~0.3-3 s round trip through
+        the TPU tunnel (CLAUDE.md rule 4) — renderC/renderD route through
+        one compiled program per (scene, flat, opts, sensor, boundary)
+        combo instead."""
+        cache = getattr(self, "_radiance_jits", None)
+        if cache is None:
+            cache = self._radiance_jits = {}
+        return cache
+
+    def _jit_radiance_call(self, scene, sensor_id, with_boundary,
+                           detached, key):
+        cache = self._jit_radiance(scene, sensor_id, with_boundary)
+        from ..scene.scene import detach_flat
+        flat = scene.flat
+        # the FlatScene mixes arrays with static fields, so it is closed
+        # over (arrays become hoisted constants) rather than passed as an
+        # argument; the cache key tracks its identity and detaching
+        # happens inside the traced function (a fresh detach_flat pytree
+        # per call would defeat the cache)
+        k = (id(scene), id(flat), scene.opts, sensor_id, with_boundary,
+             detached)
+        f = cache.get(k)
+        if f is None:
+            if len(cache) > 16:
+                cache.clear()
+
+            def run(key_):
+                fl = detach_flat(flat) if detached else flat
+                return self.radiance_image(scene, fl, sensor_id, key_,
+                                           with_boundary)
+
+            f = cache[k] = jax.jit(run)
+        return f(key)
+
     def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = 0) -> jax.Array:
         """Forward render at current params -> (H, W, 3)."""
-        from ..scene.scene import detach_flat
-        flat = detach_flat(scene.flat)
-        key = jax.random.PRNGKey(seed)
-        img = self.radiance_image(scene, flat, sensor_id, key, with_boundary=False)
+        img = self._jit_radiance_call(scene, sensor_id, False, True,
+                                      jax.random.PRNGKey(seed))
         return img.reshape(scene.opts.height, scene.opts.width, 3)
 
     def renderD(self, scene: Scene, sensor_id: int = 0, seed: int = 0) -> jax.Array:
         """Primal of the differentiable render (boundary terms are zero in
         the primal by construction) -> (H, W, 3)."""
-        key = jax.random.PRNGKey(seed)
-        img = self.radiance_image(scene, scene.flat, sensor_id, key,
-                                  with_boundary=True)
+        img = self._jit_radiance_call(scene, sensor_id, True, False,
+                                      jax.random.PRNGKey(seed))
         return img.reshape(scene.opts.height, scene.opts.width, 3)

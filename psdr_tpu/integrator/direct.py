@@ -340,7 +340,11 @@ class DirectIntegrator(Integrator):
             mode = "bern"     # back-compat: Q alone selects the q-only mode
         spp = getattr(rng, "vis_spp", None)
         if (mode not in ("bern", "edge") or not spp or spp <= 1 or n % spp
-                or flat.envmap is not None or self.light_samples != 1):
+                or self.light_samples != 1):
+            return None
+        if flat.envmap is not None and mode != "edge":
+            # bern mode needs V_i ~ V_ref correlation, which envmap NEE
+            # (per-stratum directions spread over the sphere) lacks
             return None
         if mode == "bern" and q <= 0.0:
             return None
@@ -363,8 +367,15 @@ class DirectIntegrator(Integrator):
         # catching penumbra at the pixel itself; chunk-order +-1/+-2
         # neighbors (pixel-major lanes ride the 32x32 tile traversal, so
         # chunk order is x-within-tile-row) catch umbra/lit boundaries.
-        # Pixels whose probes were inactive classify as edge.
-        q = q if q > 0.0 else 1.0 / 32.0
+        # Pixels whose probes were inactive classify as edge. The second
+        # sweep then SYSTEMATICALLY subsamples each pixel's remaining
+        # strata — every k-th stratum from a per-pixel random offset
+        # (marginal probability 1/k, so the k-weighted control-variate
+        # correction stays exactly unbiased; the within-pixel negative
+        # correlation beats iid Bernoulli) — at k_pen (default 4) inside
+        # penumbra and k_smooth = round(1/q) (default 32) elsewhere.
+        k_smooth = max(2, int(round(1.0 / q)) if q > 0.0 else 32)
+        k_pen = max(1, int(os.environ.get("PSDR_TPU_VIS_REUSE_KPEN", "4")))
         h = spp // 2
         probe = first | (s_idx == h)
         act0 = active1 & probe
@@ -381,8 +392,12 @@ class DirectIntegrator(Integrator):
         # reference = mean of the two probes (halves the control-variate
         # distance on any residual misclassified penumbra lane)
         V_ref = jnp.repeat(0.5 * W, spp)
-        bern = rng.next_1d(n) < q
-        trace2 = active1 & ~probe & (pen_lane | bern)
+        u_pix = rng.next_1d(n).reshape(npix, spp)[:, 0]
+        k_lane = jnp.repeat(jnp.where(~smooth, k_pen, k_smooth), spp)
+        r_lane = jnp.repeat((u_pix * k_pen * k_smooth).astype(jnp.int32),
+                            spp)
+        B = (s_idx % k_lane) == (r_lane % k_lane)
+        trace2 = active1 & ~probe & B
         # penumbra lanes cluster spatially (same sort segments), so the
         # second sweep uses the 1/4-cap compaction instead of 1/8 —
         # overflowing the cap falls back to the full sorted sweep and
@@ -390,9 +405,8 @@ class DirectIntegrator(Integrator):
         occ2 = self._sparse_or_plain_test(flat, p, wo, dist, trace2,
                                           frac_shift=2)
         V2 = jnp.where(trace2, 1.0 - occ2.astype(jnp.float32), 0.0)
-        corr = jnp.where(bern, (V2 - V_ref) * (1.0 / q), 0.0)
-        return jnp.where(probe, V0,
-                         jnp.where(pen_lane, V2, V_ref + corr))
+        corr = jnp.where(B, (V2 - V_ref) * k_lane.astype(jnp.float32), 0.0)
+        return jnp.where(probe, V0, V_ref + corr)
 
     # -- secondary boundary (direct.cpp:207-316) -------------------------------
     def render_secondary_edges(self, scene: Scene, flat: FlatScene,

@@ -63,6 +63,14 @@ def main():
         out = step(params, jax.random.PRNGKey(i + 1))
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
+    # sanity: a sub-10ms "iteration" of a full renderD program means the
+    # measurement (or the program) is broken — print the loss + a grad
+    # norm so the run self-validates
+    loss_v = float(out[0])
+    import numpy as _np
+    gn = float(sum(_np.abs(_np.asarray(g)).sum()
+                   for g in jax.tree.leaves(out[1])))
+    print(json.dumps({"loss": loss_v, "grad_l1": gn}), flush=True)
 
     pix = width * height
     samples = pix * (spp + sppe) + pix * sppse

@@ -16,12 +16,14 @@ sys.path.insert(0, os.path.join(
 
 
 def child(q: str) -> None:
-    # "<mode>" or "<mode>:<q>"; bare floats keep the old bern meaning
+    # "<mode>[:<q>[:<k_pen>]]"; bare floats keep the old bern meaning
     if ":" in q:
-        mode, qq = q.split(":")
-        os.environ["PSDR_TPU_VIS_REUSE"] = mode
-        if qq:
-            os.environ["PSDR_TPU_VIS_REUSE_Q"] = qq
+        parts = q.split(":")
+        os.environ["PSDR_TPU_VIS_REUSE"] = parts[0]
+        if len(parts) > 1 and parts[1] and parts[1] != "0":
+            os.environ["PSDR_TPU_VIS_REUSE_Q"] = parts[1]
+        if len(parts) > 2 and parts[2]:
+            os.environ["PSDR_TPU_VIS_REUSE_KPEN"] = parts[2]
     elif q in ("off", "edge", "bern"):
         os.environ["PSDR_TPU_VIS_REUSE"] = q
     else:

@@ -34,12 +34,18 @@ def test_field_depth_and_normal(sphere_scene):
     assert n[16, 16, 2] > 0.5
 
 
-def test_direct_render_basic(sphere_scene):
+def test_direct_render_basic(sphere_scene, monkeypatch):
     integ = DirectIntegrator(bsdf_samples=1, light_samples=1)
     img = np.asarray(integ.renderC(sphere_scene, 0, seed=0))
     assert np.isfinite(img).all()
     assert img.max() > 0.01  # something is lit
-    assert img.min() >= 0.0
+    # the default NEE visibility-reuse correction is a control variate:
+    # unbiased, but individual penumbra samples may go slightly negative
+    assert img.min() >= -0.1 * img.max()
+    # with reuse off the estimator is non-negative by construction
+    monkeypatch.setenv("PSDR_TPU_VIS_REUSE", "off")
+    img2 = np.asarray(DirectIntegrator(1, 1).renderC(sphere_scene, 0, seed=0))
+    assert img2.min() >= 0.0
 
 
 def test_estimator_cross_validation():
@@ -169,7 +175,7 @@ def test_emitter_first_matches_full_closest_hit():
                                    np.asarray(its_full.p)[m], atol=1e-5)
 
 
-def test_stratified_primary_reduces_variance():
+def test_stratified_primary_reduces_variance(monkeypatch):
     """Stratified subpixel jitter must lower pixel variance across seeds
     vs independent jitter, and leave the mean unbiased."""
     import dataclasses
@@ -177,6 +183,8 @@ def test_stratified_primary_reduces_variance():
     import numpy as np
     from scenes import sphere_light_scene
     from psdr_tpu import DirectIntegrator
+    # isolate the sampler property under test from visibility-reuse noise
+    monkeypatch.setenv("PSDR_TPU_VIS_REUSE", "off")
 
     integ = DirectIntegrator(1, 1)
     imgs = {}
