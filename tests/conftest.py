@@ -13,6 +13,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NEE visibility reuse (integrator/direct.py _nee_visibility) stays OFF
+# in the suite: it is exactly unbiased but adds ~10% image variance,
+# which the AD-vs-FD gradient tests' tight small-budget margins cannot
+# absorb (they compare against FD images rendered through the same
+# path). Reuse-specific tests opt in explicitly via monkeypatch.setenv,
+# which overrides this default (the knob is read at call time).
+os.environ.setdefault("PSDR_TPU_VIS_REUSE", "off")
+
 
 def pytest_configure(config):
     # quick profile: `pytest -m "not slow"` (~1/3 the wall clock) for the
