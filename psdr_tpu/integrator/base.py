@@ -371,8 +371,18 @@ class Integrator:
                 from ..scene.scene import ray_test
                 occluded = ray_test(flat_det, pes.ray_c, pes.vis_dist, valid)
                 valid = valid & ~occluded
-            delta_L = sg(self.Li(scene, flat_det, rng, pes.ray_n, valid)
-                         - self.Li(scene, flat_det, rng, pes.ray_p, valid))
+            # ONE Li over the concatenated +/- rays instead of two calls:
+            # the per-call trace sets (closest hit, NEE sampling + sweep,
+            # emitter-first bounce) then amortize their fixed per-block
+            # costs across both sides; lanes stay edge-sorted within each
+            # half. Statistically identical (both sides drew independent
+            # streams before too).
+            m2 = pes.ray_n.o.shape[0]
+            rays_cat = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), pes.ray_n, pes.ray_p)
+            L = sg(self.Li(scene, flat_det, rng, rays_cat,
+                           jnp.concatenate([valid, valid])))
+            delta_L = L[:m2] - L[m2:]
             pdf = jnp.where(valid, sg(pes.pdf), 1.0)
             value = pes.x_dot_n[..., None] * (delta_L / pdf[..., None])
             value = scrub_nonfinite(value)
@@ -384,8 +394,10 @@ class Integrator:
                                     num_pixels)
 
         lane_range = shard and shard_lane_range(n, shard)
+        # halved chunk: run_lanes doubles its lane count internally (the
+        # concatenated +/- rays), keeping HLO temporaries at pass_lanes
         return scan_lane_chunks(run_lanes, n, num_pixels, key,
-                                opts.pass_lanes, lane_range,
+                                max(1, opts.pass_lanes // 2), lane_range,
                                 remat=opts.resolve_remat(
                                     n if lane_range is None else lane_range[1]))
 
