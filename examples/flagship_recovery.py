@@ -108,13 +108,32 @@ def main():
     v_true = jnp.asarray(truth["meshes"][OCCLUDER]["vertex_positions"])
 
     # target images at ground truth, one per view (independent noise);
-    # jitted one-program renders (eager radiance_image would dispatch
-    # hundreds of ops through the TPU tunnel)
+    # rendered in a CHILD process: the target programs + the train-step
+    # program cannot co-reside through the TPU tunnel (CLAUDE.md rule 7 —
+    # the flagship run hit INVALID_ARGUMENT at iteration 2 with them
+    # in-process; each child runs ONE large program class and exits)
     t_build0 = time.perf_counter()
-    targets = [np.asarray(jax.jit(integ.render_fn(
-        sc, s, with_boundary=False, detached=True))(
-            truth, jax.random.PRNGKey(1000 + s)))
-        for s in range(sc.num_sensors)]
+    if "--targets-child" in sys.argv:
+        s = int(sys.argv[sys.argv.index("--targets-child") + 1])
+        img = np.asarray(jax.jit(integ.render_fn(
+            sc, s, with_boundary=False, detached=True))(
+                truth, jax.random.PRNGKey(1000 + s)))
+        np.savez(os.path.join(OUT, f"flagship_recovery_target{s}.npz"),
+                 img=img)
+        print("target written", flush=True)
+        return
+    import subprocess
+    targets = []
+    for s in range(sc.num_sensors):
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--targets-child", str(s)]
+            + [a for a in sys.argv[1:]],
+            capture_output=True, text=True, timeout=7200)
+        assert "target written" in r.stdout, \
+            r.stdout[-500:] + r.stderr[-800:]
+        targets.append(np.load(os.path.join(
+            OUT, f"flagship_recovery_target{s}.npz"))["img"])
     t_targets = time.perf_counter() - t_build0
 
     # start from the deformed shape
