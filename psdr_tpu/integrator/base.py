@@ -11,6 +11,8 @@ Parity reference: psdr-cuda src/integrator/integrator.cpp —
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -362,7 +364,16 @@ class Integrator:
         def run_lanes(lane, key_c):
             rng = RngStream(key_c, salt=1)
             m = lane.shape[0]
-            # sorted iid samples group same-edge lanes into coherent blocks
+            # edge-sorted lanes are spatially coherent, so the NEE
+            # visibility-reuse machinery applies with G consecutive lanes
+            # playing the role of a pixel's strata (direct.py
+            # _nee_visibility is grouping-agnostic: the control variate is
+            # unbiased for ANY group partition; variance depends only on
+            # within-group correlation). Both concatenated +/- halves
+            # group independently since G divides m.
+            if m % 16 == 0 and os.environ.get(
+                    "PSDR_TPU_VIS_REUSE", "edge") == "edge":
+                rng.vis_spp = 16
             pes = sample_primary_edge(sensor, jnp.sort(rng.next_1d(m)))
             valid = (pes.idx >= 0) & (lane < n)
             if opts.primary_edge_vis_check:

@@ -308,6 +308,13 @@ class DirectIntegrator(Integrator):
         return ray_test(flat, Ray(p, wo), dist, active)
 
     def _nee_visibility(self, flat, rng, p, wo, dist, active1, n):
+        return DirectIntegrator._nee_visibility_impl(
+            flat, rng, p, wo, dist, active1, n,
+            light_samples=self.light_samples)
+
+    @staticmethod
+    def _nee_visibility_impl(flat, rng, p, wo, dist, active1, n,
+                             light_samples):
         """Unbiased NEE visibility reuse across a pixel's spp strata
         (area-light scenes, pixel-aligned chunks): all strata of a pixel
         shade nearly the same point toward the same small light, so their
@@ -340,7 +347,7 @@ class DirectIntegrator(Integrator):
             mode = "bern"     # back-compat: Q alone selects the q-only mode
         spp = getattr(rng, "vis_spp", None)
         if (mode not in ("bern", "edge") or not spp or spp <= 1 or n % spp
-                or self.light_samples != 1):
+                or light_samples != 1):
             return None
         if flat.envmap is not None and mode != "edge":
             # bern mode needs V_i ~ V_ref correlation, which envmap NEE
@@ -402,7 +409,7 @@ class DirectIntegrator(Integrator):
         # second sweep uses the 1/4-cap compaction instead of 1/8 —
         # overflowing the cap falls back to the full sorted sweep and
         # would forfeit the whole win exactly on shadow-heavy chunks
-        occ2 = self._sparse_or_plain_test(flat, p, wo, dist, trace2,
+        occ2 = DirectIntegrator._sparse_or_plain_test(flat, p, wo, dist, trace2,
                                           frac_shift=2)
         V2 = jnp.where(trace2, 1.0 - occ2.astype(jnp.float32), 0.0)
         corr = jnp.where(B, (V2 - V_ref) * k_lane.astype(jnp.float32), 0.0)

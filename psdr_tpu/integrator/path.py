@@ -146,10 +146,22 @@ class PathTracer(Integrator):
                 active_l = (active_l
                             & (sg(to_local(its.sh_frame, wo))[..., 2] > 0.0)
                             & (sg(its.wi)[..., 2] > 0.0))
-            # sort envmap-sampled shadow directions (see DirectIntegrator)
-            occluded = ray_test(flat, Ray(its.p, wo), dist, active_l,
-                                sort_rays=flat.envmap is not None)
-            active_l = active_l & ~occluded
+            # NEE visibility reuse at the first bounce (camera hits are
+            # pixel-coherent; later bounces decorrelate) — see
+            # DirectIntegrator._nee_visibility; falls back to the plain
+            # tmax-pruned sweep
+            vis = None
+            if first:
+                vis = DirectIntegrator._nee_visibility_impl(
+                    flat, rng, its.p, wo, dist, active_l, n,
+                    light_samples=1)
+            if vis is None:
+                # sort envmap-sampled shadow directions (DirectIntegrator)
+                occluded = ray_test(flat, Ray(its.p, wo), dist, active_l,
+                                    sort_rays=flat.envmap is not None)
+                active_l = active_l & ~occluded
+            else:
+                active_l = active_l & (vis != 0.0)
 
             le = jnp.where((ps.emitter >= 0)[..., None],
                            select_rows(flat.emitter_radiance,
@@ -171,6 +183,8 @@ class PathTracer(Integrator):
             w_den = sqr(ps.pdf) + sqr(pdf_b_area)
             w_l = _mdiv(sqr(ps.pdf), w_den, active_l & (w_den > 0.0))
             contrib = le * f_l * w_l[..., None]
+            if vis is not None:
+                contrib = contrib * vis[..., None]
             result = result + jnp.where(active_l[..., None],
                                         beta * contrib, 0.0)
 

@@ -135,3 +135,24 @@ def test_path_scan_depths_matches_unrolled():
             # its float rounding differs slightly from the unrolled chain
             np.testing.assert_allclose(grd[True], grd[False], rtol=1e-2,
                                        atol=1e-3, err_msg=f"D={D}")
+
+
+def test_pathtracer_first_bounce_visibility_reuse_unbiased(monkeypatch):
+    """PathTracer's first-bounce NEE routes through the shared visibility
+    reuse (edge mode); seed-averaged images must agree with the plain
+    sweep (unbiasedness of the wiring, not just the impl)."""
+    import numpy as np
+    from scenes import cbox_scene
+    from psdr_tpu import PathTracer
+
+    def avg(mode, seeds=8):
+        monkeypatch.setenv("PSDR_TPU_VIS_REUSE", mode)
+        sc = cbox_scene(width=24, height=24, spp=16, occluder_subdiv=2)
+        integ = PathTracer(max_depth=2)
+        return np.mean([np.asarray(integ.renderC(sc, seed=s))
+                        for s in range(seeds)], axis=0)
+
+    plain = avg("off")
+    edge = avg("edge")
+    assert np.isfinite(edge).all()
+    assert abs(edge.mean() - plain.mean()) < 0.025 * plain.mean()
