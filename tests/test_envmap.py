@@ -158,3 +158,36 @@ def test_alias_and_cmf_envmap_estimators_agree(monkeypatch):
     assert np.all(np.isfinite(img_alias)) and np.all(np.isfinite(img_cmf))
     m_a, m_c = img_alias.mean(), img_cmf.mean()
     assert abs(m_a - m_c) < 0.05 * max(m_a, m_c), (m_a, m_c)
+
+
+def test_frozen_and_injit_cmf_estimators_agree(monkeypatch):
+    """Large grids freeze their cmf table host-side (f64) at trace time by
+    default; estimates must agree with the in-jit per-frame build
+    (PSDR_TPU_ENV_FROZEN=0) — same importance family, different
+    precision/build path."""
+    sky = _gradient_sky(h=160, w=320)       # 202k fine cells > 2^15
+    def build():
+        sc = Scene()
+        b = sc.add_bsdf(Diffuse([0.7, 0.7, 0.7]), "mat")
+        sc.add_mesh(primitives.make_icosphere(subdiv=2, radius=1.0, bsdf_id=b))
+        sc.add_emitter(EnvironmentMap(sky, scale=1.0))
+        cam = PerspectiveCamera(fov_x=40.0)
+        cam.set_transform(np.asarray(xf.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0])))
+        sc.add_sensor(cam)
+        sc.opts = RenderOptions(width=16, height=16, spp=48)
+        return sc
+
+    monkeypatch.setenv("PSDR_TPU_ENV_FROZEN", "1")
+    sc = build()
+    assert sc.build(sc.params()).envmap.cell_distrb.cells.shape[0] == 0, \
+        "expected the frozen (placeholder-cells) path"
+    img_frozen = _avg(DirectIntegrator(0, 1), sc, seeds=4)
+
+    monkeypatch.setenv("PSDR_TPU_ENV_FROZEN", "0")
+    sc2 = build()
+    assert sc2.build(sc2.params()).envmap.cell_distrb.cells.shape[0] > 0
+    img_injit = _avg(DirectIntegrator(0, 1), sc2, seeds=4)
+
+    assert np.isfinite(img_frozen).all() and np.isfinite(img_injit).all()
+    m_f, m_j = img_frozen.mean(), img_injit.mean()
+    assert abs(m_f - m_j) < 0.05 * max(m_f, m_j), (m_f, m_j)
