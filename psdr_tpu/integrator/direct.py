@@ -327,14 +327,16 @@ class DirectIntegrator(Integrator):
 
         Modes (PSDR_TPU_VIS_REUSE; default "edge" when the structure
         allows, "off" disables; PSDR_TPU_VIS_REUSE_Q sets q):
-        * "edge" (default, q=1/32): a stratum-0 pre-sweep classifies
-          pixels by comparing V_ref with chunk-order neighbor pixels —
-          shadow-EDGE pixels trace every stratum (no amplification
-          exactly where V_i != V_ref lives), smooth pixels reuse with the
-          tiny-q correction. Classification depends only on stratum-0
-          results, so unbiasedness is untouched (B is independent of
-          everything). Measured round 5: variance ratio ~1.0x on cbox,
-          flagship forward 46.5 -> ~70 Mrays/s.
+        * "edge" (default): a strata-{0, spp/2} pre-sweep classifies
+          pixels (probe disagreement = penumbra; +-1/+-2 chunk-order
+          neighbor comparison catches umbra/lit boundaries); the
+          remaining strata are systematically subsampled at k_pen=4
+          inside penumbra / k_smooth=32 elsewhere with k-weighted
+          corrections. Classification depends only on probe results, so
+          unbiasedness is untouched (the subsample selection is
+          independent of the corrected lanes). Measured round 5:
+          variance ratio 1.10 on cbox (1.01 bunny_env_2), flagship
+          forward 46.7 -> 63.7 Mrays/s.
         * "bern" (the q-only estimator, q=1/16): fewer sweeps but the
           1/q penumbra amplification costs 1.5x image variance on cbox —
           an equal-quality wash despite +59% raw speed; kept for A/Bs.
@@ -409,8 +411,8 @@ class DirectIntegrator(Integrator):
         # second sweep uses the 1/4-cap compaction instead of 1/8 —
         # overflowing the cap falls back to the full sorted sweep and
         # would forfeit the whole win exactly on shadow-heavy chunks
-        occ2 = DirectIntegrator._sparse_or_plain_test(flat, p, wo, dist, trace2,
-                                          frac_shift=2)
+        occ2 = DirectIntegrator._sparse_or_plain_test(
+            flat, p, wo, dist, trace2, frac_shift=2)
         V2 = jnp.where(trace2, 1.0 - occ2.astype(jnp.float32), 0.0)
         corr = jnp.where(B, (V2 - V_ref) * k_lane.astype(jnp.float32), 0.0)
         return jnp.where(probe, V0, V_ref + corr)
