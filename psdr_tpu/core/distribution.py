@@ -257,6 +257,148 @@ def alias_sample_reuse(at: AliasTable, samples: jax.Array) -> Tuple[jax.Array, j
     return idx, pmf_i / at.total, remapped
 
 
+class Hier2D(NamedTuple):
+    """Hierarchical 2D sample warp over a regular (gw, gh) grid.
+
+    Monotone-per-axis alternative to both the flattened 1D cmf search
+    (1-2 wide (N, 256) row gathers + broadcast compare rows) and the
+    alias table (O(1) but a non-monotone u->cell map that destroys
+    (0,2)-sequence stratification — measured 1.73x NEE variance,
+    BASELINE.md round 5). The grid is padded to per-axis powers of two
+    and factored into ceil(log8) descent steps of up to 8x8 children;
+    each step stores, per node, its children's subtree masses as one
+    (ax, ay) row, so descending a step is ONE narrow (N, <=64) row
+    gather + tiny VPU inverse-CDFs (first the x-marginal with u0, then
+    the conditional row with u1). Both per-axis maps are nested inverse
+    CDFs, hence monotone in u0 / u1 — stratified and low-discrepancy
+    point sets keep their 2D structure through the warp, unlike the
+    flattened cmf (which stratifies only the row-major order) and the
+    alias map (not monotone at all).
+
+    Zero-mass (padded) cells are never selected: a child with zero mass
+    has a zero-width inverse-CDF interval and the strict `cmf < s`
+    count always lands on a neighbor with mass. The finest-level row
+    entries are f32 casts of the same f64 subtree sums as ``pmf``, so
+    the pdf the sampler reports (last chosen child mass / total) is
+    bit-identical to ``pmf[cell] / total`` — pdf always describes
+    exactly what sampling does (the AliasTable discipline).
+
+    Parity: replaces cube_distrb.cpp:41-62's cmf search for the envmap
+    grid; same contract as ``discrete_sample_reuse`` (pmf.cpp:29-50)
+    with the residual uniforms recycled as the in-cell coordinates.
+    """
+    levels: tuple          # per step: (n_nodes, ax, ay) f32 child masses
+    pmf: jax.Array         # (gw*gh,) f32, real grid, x-major (y fastest)
+    total: jax.Array       # scalar f32 (f64 host sum, cast once)
+
+    @property
+    def size(self) -> int:
+        return self.pmf.shape[0]
+
+
+def _hier_split_plan(pw: int, ph: int):
+    """Factor (pw, ph) powers of two into aligned per-step (ax, ay)
+    splits of at most 8 each (coarse -> fine); the shorter axis pads
+    with 1s at the coarse end."""
+    def plan(p):
+        out = []
+        while p > 1:
+            f = min(8, p)
+            out.append(f)
+            p //= f
+        return out
+    px, py = plan(pw), plan(ph)
+    steps = max(len(px), len(py), 1)
+    px = [1] * (steps - len(px)) + px
+    py = [1] * (steps - len(py)) + py
+    return list(zip(px, py))
+
+
+def hier2d_host(mass, gw: int, gh: int) -> Hier2D:
+    """Host-side (numpy, f64) hierarchical-warp table build, O(N)."""
+    import numpy as np
+    m = np.asarray(mass, np.float64).reshape(gw, gh)
+    total = m.sum()
+    if not np.isfinite(total) or total <= 0.0:
+        m = np.ones((gw, gh), np.float64)
+        total = float(gw * gh)
+    pw = 1 << max(0, int(gw - 1).bit_length())
+    ph = 1 << max(0, int(gh - 1).bit_length())
+    assert max(pw, ph) <= 4096, \
+        "hier2d supports up to 4096 cells per axis (f32 cell+frac sums)"
+    M = np.zeros((pw, ph), np.float64)
+    M[:gw, :gh] = m
+    steps = _hier_split_plan(pw, ph)
+    tabs = []
+    S = M
+    for ax, ay in reversed(steps):
+        nx, ny = S.shape
+        nnx, nny = nx // ax, ny // ay
+        t = S.reshape(nnx, ax, nny, ay).transpose(0, 2, 1, 3)
+        tabs.append(t.reshape(nnx * nny, ax, ay).astype(np.float32))
+        S = t.sum(axis=(2, 3))
+    return Hier2D(levels=tuple(tabs[::-1]),
+                  pmf=M[:gw, :gh].reshape(-1).astype(np.float32),
+                  total=np.float32(total))
+
+
+def _invcdf_small(m: jax.Array, u: jax.Array):
+    """Inverse CDF over a tiny (..., K) mass row: (bin, remapped u,
+    bin mass). Strict `cmf < s` count skips zero-width bins; selects
+    are index-based compare chains (~free on VPU, round-2 gather
+    facts)."""
+    K = m.shape[-1]
+    if K == 1:
+        return (jnp.zeros(u.shape, jnp.int32), u, m[..., 0])
+    c = jnp.cumsum(m, axis=-1)
+    s = u * c[..., -1]
+    k = jnp.clip(jnp.sum(c < s[..., None], axis=-1, dtype=jnp.int32),
+                 0, K - 1)
+    iota = jnp.arange(K, dtype=jnp.int32)
+    mk = jnp.sum(jnp.where(iota == k[..., None], m, 0.0), axis=-1)
+    prev = jnp.sum(jnp.where(iota == (k - 1)[..., None], c, 0.0), axis=-1)
+    res = s - prev
+    u2 = jnp.clip(jnp.where(mk > 0.0, res / mk, res), 0.0, 1.0 - 1e-7)
+    return k, u2, mk
+
+
+def hier2d_sample_reuse(h: Hier2D, samples: jax.Array, resolution):
+    """samples (..., 2) in [0,1)^2 -> (warped (..., 2) in real-grid uv,
+    normalized cell pdf). One narrow row gather + two tiny inverse CDFs
+    per level; u0 warps the x axis, u1 the y axis."""
+    u0 = jnp.clip(samples[..., 0], 0.0, 1.0 - 1e-7)
+    u1 = jnp.clip(samples[..., 1], 0.0, 1.0 - 1e-7)
+    ix = jnp.zeros(u0.shape, jnp.int32)
+    iy = jnp.zeros(u0.shape, jnp.int32)
+    ny_nodes = 1
+    mk = h.total
+    for tab in h.levels:
+        n_nodes, ax, ay = tab.shape
+        # root level has one node: no gather (and XLA folds its tiny CDFs)
+        row = tab[0] if n_nodes == 1 else tab[ix * ny_nodes + iy]
+        i, u0, _ = _invcdf_small(jnp.sum(row, axis=-1), u0)
+        iota = jnp.arange(ax, dtype=jnp.int32)
+        cond = jnp.sum(jnp.where((iota == i[..., None])[..., None],
+                                 row, 0.0), axis=-2)     # (..., ay)
+        j, u1, mk = _invcdf_small(cond, u1)
+        ix = ix * ax + i
+        iy = iy * ay + j
+        ny_nodes = ny_nodes * ay
+    reso = jnp.asarray(resolution, jnp.float32)
+    # cap the in-cell fractions at 1 - 2^-10 so `cell + frac` can never
+    # round up across the cell boundary in f32 (f32 ulp at 4096 is
+    # 2^-11; hier2d_host asserts reso <= 4096) — keeps the reported pdf
+    # consistent with floor(warped * reso) on every lane
+    cap = jnp.float32(1.0 - 1.0 / 1024.0)
+    warped = jnp.stack(
+        [(ix.astype(jnp.float32) + jnp.minimum(u0, cap)) / reso[0],
+         (iy.astype(jnp.float32) + jnp.minimum(u1, cap)) / reso[1]],
+        axis=-1)
+    # mk is the finest-level chosen child mass — bit-identical to
+    # pmf[ix*gh + iy] by construction (same f64 value, same f32 cast)
+    return warped, mk / h.total
+
+
 class HyperCube(NamedTuple):
     """Piecewise-constant distribution over a regular n-D grid
     (cube_distrb.cpp:8-75). ``cells`` holds each flat cell's integer grid
@@ -269,12 +411,15 @@ class HyperCube(NamedTuple):
     resolution: jax.Array  # (ndim,) int32
     unit: jax.Array        # (ndim,) float32
     alias: AliasTable | None = None
+    hier: Hier2D | None = None
 
     @property
     def num_cells(self) -> int:
         if self.distrb is not None:
             return self.distrb.pmf.shape[0]
-        return self.alias.size
+        if self.alias is not None:
+            return self.alias.size
+        return self.hier.size
 
     @property
     def ndim(self) -> int:
@@ -321,6 +466,10 @@ def hypercube_sample_reuse(hc: HyperCube, samples: jax.Array) -> Tuple[jax.Array
     Picks a cell using the *last* component, then maps the remainder
     uniformly inside the cell (cube_distrb.cpp:41-50).
     """
+    if hc.hier is not None:
+        warped, pdf_norm = hier2d_sample_reuse(hc.hier, samples,
+                                               hc.resolution)
+        return warped, pdf_norm * hc.num_cells
     if hc.alias is not None:
         idx, pdf, last = alias_sample_reuse(hc.alias, samples[..., -1])
     else:
@@ -351,6 +500,8 @@ def hypercube_pdf(hc: HyperCube, p: jax.Array) -> jax.Array:
     idx = jnp.clip(idx, 0, hc.num_cells - 1)
     if hc.alias is not None:
         pdf_norm = hc.alias.pmf[idx] / hc.alias.total
+    elif hc.hier is not None:
+        pdf_norm = hc.hier.pmf[idx] / hc.hier.total
     else:
         pdf_norm = hc.distrb.pmf[idx] / hc.distrb.total
     return jnp.where(valid, pdf_norm * hc.num_cells, 0.0)

@@ -18,9 +18,10 @@ import jax.numpy as jnp
 
 from ..core.constants import Epsilon, InvPi, InvTwoPi, Pi, TwoPi
 from ..core.bitmap import Bitmap, eval_bitmap, from_array
-from ..core.distribution import (AliasTable, Discrete, HyperCube,
-                                 alias_table_host, hypercube_init,
-                                 hypercube_pdf, hypercube_sample_reuse)
+from ..core.distribution import (AliasTable, Discrete, Hier2D, HyperCube,
+                                 alias_table_host, hier2d_host,
+                                 hypercube_init, hypercube_pdf,
+                                 hypercube_sample_reuse)
 from ..core.math import (dot, normalize, rgb2luminance, safe_acos, safe_rsqrt,
                          safe_sqrt, sphdir, sqr, squared_norm,
                          ray_intersect_scene_aabb)
@@ -120,6 +121,8 @@ def _frozen_tables(host_radiance, gw, gh, gw_f, gh_f, kind: str):
         mass = _host_mass_grid(host_radiance, gw, gh, gw_f, gh_f)
         if kind == "alias":
             hit = alias_table_host(mass)
+        elif kind == "hier":
+            hit = hier2d_host(mass, gw, gh)
         else:
             total = mass.sum()
             if not np.isfinite(total) or total <= 0.0:
@@ -168,10 +171,22 @@ def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array,
     use_alias = (host_radiance is not None
                  and gw_f * gh_f > (1 << 15)
                  and _os.environ.get("PSDR_TPU_ENV_ALIAS", "0") == "1")
-    use_frozen_cmf = (not use_alias and host_radiance is not None
+    #   PSDR_TPU_ENV_HIER=1 (OPT-IN until on-chip A/B'd): hierarchical
+    #     2D warp — one narrow (N, <=64) row gather per log8 level,
+    #     monotone in BOTH sample axes (nested inverse CDFs), so the
+    #     (0,2)-sequence keeps genuinely 2D stratification where the
+    #     flattened cmf only stratifies the row-major order and alias
+    #     none at all. Cost scales with log(cells) -> defaults to the
+    #     reference-parity div=1 grid like alias.
+    use_hier = (not use_alias and host_radiance is not None
+                and gw_f * gh_f > (1 << 15)
+                and max(gw_f, gh_f) <= 4096     # hier2d_host f32 bound
+                and _os.environ.get("PSDR_TPU_ENV_HIER", "0") == "1")
+    use_frozen_cmf = (not use_alias and not use_hier
+                      and host_radiance is not None
                       and gw_f * gh_f > (1 << 15)
                       and _os.environ.get("PSDR_TPU_ENV_FROZEN", "1") == "1")
-    div_default = "1" if use_alias else "4"
+    div_default = "1" if (use_alias or use_hier) else "4"
     div = max(1, int(_os.environ.get("PSDR_TPU_ENV_RESO_DIV", div_default)))
     gw, gh = gw_f, gh_f
     if div > 1 and gw_f * gh_f > (1 << 18):
@@ -186,6 +201,16 @@ def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array,
             alias=AliasTable(packed=jnp.asarray(at.packed),
                              pmf=jnp.asarray(at.pmf),
                              total=jnp.asarray(at.total)))
+    elif use_hier:
+        ht = _frozen_tables(host_radiance, gw, gh, gw_f, gh_f, "hier")
+        hc = HyperCube(
+            distrb=None,
+            cells=jnp.zeros((0, 2), jnp.int32),
+            resolution=jnp.asarray((gw, gh), jnp.int32),
+            unit=1.0 / jnp.asarray((gw, gh), jnp.float32),
+            hier=Hier2D(levels=tuple(jnp.asarray(t) for t in ht.levels),
+                        pmf=jnp.asarray(ht.pmf),
+                        total=jnp.asarray(ht.total)))
     elif use_frozen_cmf:
         d = _frozen_tables(host_radiance, gw, gh, gw_f, gh_f, "cmf")
         hc = HyperCube(
@@ -220,7 +245,7 @@ def configure_envmap(params: dict, lower: jax.Array, upper: jax.Array,
         pooled = jax.ops.segment_max(m_fine, cx, num_segments=gw)        # (gw, gh_f)
         pooled = jax.ops.segment_max(pooled.T, cy, num_segments=gh).T    # (gw, gh)
         mass = pooled.reshape(gw * gh)
-    if not use_alias and not use_frozen_cmf:
+    if not use_alias and not use_hier and not use_frozen_cmf:
         hc = hypercube_init((gw, gh), mass)
     to_world = params["to_world"]
     return EnvmapState(data=data, scale=params["scale"], to_world=to_world,

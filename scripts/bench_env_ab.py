@@ -86,6 +86,25 @@ def main():
 
         interleaved({"search-sep": make("0"), "search-packed": make("1")},
                     jax.random.PRNGKey(2))
+    elif which == "hier-ab":
+        # frozen-cmf blocked search vs hierarchical 2D warp, matched
+        # reference-parity div=1 grid (the hier/alias default). Decision
+        # metric for PSDR_TPU_ENV_HIER: hier costs 1.21x NEE variance
+        # under QMC (CPU seeds A/B, round 5), so it must win the search
+        # by more than that to be an equal-quality default.
+        def make(hier):
+            def f(key):
+                os.environ["PSDR_TPU_ENV_HIER"] = hier
+                os.environ["PSDR_TPU_ENV_RESO_DIV"] = "1"
+                flat = scene.build(params)
+                rng = RngStream(key, salt=4)
+                uv, pdf = hypercube_sample_reuse(flat.envmap.cell_distrb,
+                                                 rng.next_2d(CHUNK))
+                return uv.sum() + pdf.sum()
+            return jax.jit(f)
+
+        interleaved({"search-cmf": make("0"), "search-hier": make("1")},
+                    jax.random.PRNGKey(2))
     elif which == "occl-ab":
         def make(**kw):
             @jax.jit

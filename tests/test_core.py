@@ -428,3 +428,72 @@ def test_alias_sample_reuse_exact_frequencies_and_uniform_remap():
             assert abs(r.mean() - 0.5) < 5e-3
             assert abs(np.mean(r < 0.25) - 0.25) < 5e-3
     assert (rem >= 0).all() and (rem <= 1).all()
+
+
+def test_hier2d_warp_distribution_pdf_and_monotonicity():
+    """Hierarchical 2D warp (distribution.py hier2d_*): empirical cell
+    frequencies match the pmf, the reported pdf is the pmf the warped
+    point lands in (up to f32 cell-boundary rounding, the same property
+    the cmf path's ``(cell+u)*unit`` has), zero-mass (incl. padded)
+    cells are never selected, and the map is monotone per sample axis —
+    the stratification-preserving property that motivates it."""
+    from psdr_tpu.core.distribution import (hier2d_host, hier2d_sample_reuse,
+                                            _hier_split_plan)
+    import jax.numpy as jnp
+
+    assert _hier_split_plan(512, 256) == [(8, 8), (8, 8), (8, 4)]
+    assert _hier_split_plan(2048, 1024) == [(8, 8), (8, 8), (8, 8), (4, 2)]
+    assert _hier_split_plan(1, 1) == [(1, 1)]
+
+    rng = np.random.default_rng(0)
+    gw, gh = 12, 10                      # non-pow2: exercises zero padding
+    mass = rng.random((gw, gh)) ** 3
+    mass[3, 4] = 0.0
+    h_np = hier2d_host(mass.reshape(-1), gw, gh)
+    # subtree-sum consistency: each level's rows sum to its parent entries
+    assert np.isclose(np.asarray(h_np.levels[0]).sum(),
+                      np.asarray(h_np.total), rtol=1e-5)
+    h = jax.tree.map(jnp.asarray, h_np)
+    reso = jnp.asarray([gw, gh], jnp.int32)
+
+    N = 200000
+    u = jnp.asarray(rng.random((N, 2)).astype(np.float32))
+    warped, pdf = jax.jit(lambda s: hier2d_sample_reuse(h, s, reso))(u)
+    warped, pdf = np.asarray(warped), np.asarray(pdf)
+    assert warped.min() >= 0.0 and warped.max() < 1.0
+    xg, yg = warped[:, 0] * gw, warped[:, 1] * gh
+    ix, iy = np.floor(xg).astype(int), np.floor(yg).astype(int)
+    flat = ix * gh + iy
+    pm = np.asarray(h_np.pmf, np.float64)
+    # 1-ulp rtol: XLA lowers /total to mul-by-reciprocal
+    match = np.isclose(pdf, pm[flat] / np.float64(h_np.total), rtol=1e-6)
+    assert match.mean() > 0.999
+    # every mismatch sits at an f32 cell boundary (rounding, not logic)
+    bdry = np.minimum(np.abs(xg - np.round(xg)), np.abs(yg - np.round(yg)))
+    assert np.all(bdry[~match] < 1e-3)
+    assert not np.any(flat[match] == 3 * gh + 4)   # zero cell unsampled
+    cnt = np.bincount(flat, minlength=gw * gh) / N
+    ref = pm / pm.sum()
+    assert np.abs(cnt - ref).max() < 5 * np.sqrt(ref.max() / N)
+    # in-cell residuals stay uniform (sample_reuse contract)
+    fx = xg - ix
+    assert abs(fx.mean() - 0.5) < 0.01 and abs(np.mean(fx < 0.25) - 0.25) < 0.01
+
+    # uniform mass on a pow2 grid: the warp is the identity (up to the
+    # 2^-10 in-cell cap) and the pdf is exactly uniform
+    h2 = jax.tree.map(jnp.asarray, hier2d_host(np.ones(64 * 32), 64, 32))
+    w2, p2 = hier2d_sample_reuse(h2, u, jnp.asarray([64, 32], jnp.int32))
+    assert float(jnp.abs(w2 - u).max()) < 1.0 / (32 * 1024) + 1e-5
+    assert np.allclose(np.asarray(p2), 1.0 / (64 * 32), rtol=1e-5)
+
+    # per-axis monotonicity
+    u0s = np.sort(rng.random(3000)).astype(np.float32)
+    w3, _ = hier2d_sample_reuse(
+        h, jnp.stack([jnp.asarray(u0s),
+                      jnp.full((3000,), 0.377, jnp.float32)], -1), reso)
+    assert np.all(np.diff(np.asarray(w3[:, 0])) >= -1e-6)
+    w4, _ = hier2d_sample_reuse(
+        h, jnp.stack([jnp.full((3000,), 0.61, jnp.float32),
+                      jnp.asarray(np.sort(rng.random(3000)).astype(np.float32))],
+                     -1), reso)
+    assert np.all(np.diff(np.asarray(w4[:, 1])) >= -1e-6)

@@ -191,3 +191,47 @@ def test_frozen_and_injit_cmf_estimators_agree(monkeypatch):
     assert np.isfinite(img_frozen).all() and np.isfinite(img_injit).all()
     m_f, m_j = img_frozen.mean(), img_injit.mean()
     assert abs(m_f - m_j) < 0.05 * max(m_f, m_j), (m_f, m_j)
+
+
+def test_hier_and_cmf_envmap_estimators_agree(monkeypatch):
+    """PSDR_TPU_ENV_HIER=1 routes large-grid envmap NEE through the
+    hierarchical 2D warp (distribution.py Hier2D) at the reference-parity
+    div=1 grid; light-only estimates must agree with the default frozen-cmf
+    path (both unbiased for the same radiance), and the sampling pdf must
+    stay consistent with hypercube_pdf (the MIS surface)."""
+    sky = _gradient_sky(h=160, w=320)       # fine grid 202k cells > 2^15
+    sky[40, 200] *= 400.0                   # concentrated feature
+    def build():
+        sc = Scene()
+        b = sc.add_bsdf(Diffuse([0.7, 0.7, 0.7]), "mat")
+        sc.add_mesh(primitives.make_icosphere(subdiv=2, radius=1.0, bsdf_id=b))
+        sc.add_emitter(EnvironmentMap(sky, scale=1.0))
+        cam = PerspectiveCamera(fov_x=40.0)
+        cam.set_transform(np.asarray(xf.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0])))
+        sc.add_sensor(cam)
+        sc.opts = RenderOptions(width=16, height=16, spp=64)
+        return sc
+
+    monkeypatch.setenv("PSDR_TPU_ENV_HIER", "1")
+    sc = build()
+    flat = sc.build(sc.params())
+    hc = flat.envmap.cell_distrb
+    assert hc.hier is not None, "expected the hier path for a 202k-cell grid"
+    # sampler pdf == hypercube_pdf at the warped point (MIS consistency)
+    from psdr_tpu.core.distribution import (hier2d_sample_reuse,
+                                            hypercube_pdf)
+    u = jnp.asarray(np.random.default_rng(5).random((20000, 2)), jnp.float32)
+    w, pdf = hier2d_sample_reuse(hc.hier, u, hc.resolution)
+    pdf_eval = hypercube_pdf(hc, w) / hc.num_cells
+    ok = np.isclose(np.asarray(pdf), np.asarray(pdf_eval), rtol=1e-5)
+    assert ok.mean() > 0.999                 # f32 cell-boundary rounding only
+    img_hier = _avg(DirectIntegrator(0, 1), sc, seeds=6)
+
+    monkeypatch.setenv("PSDR_TPU_ENV_HIER", "0")
+    sc2 = build()
+    assert sc2.build(sc2.params()).envmap.cell_distrb.hier is None
+    img_cmf = _avg(DirectIntegrator(0, 1), sc2, seeds=6)
+
+    assert np.all(np.isfinite(img_hier)) and np.all(np.isfinite(img_cmf))
+    m_h, m_c = img_hier.mean(), img_cmf.mean()
+    assert abs(m_h - m_c) < 0.05 * max(m_h, m_c), (m_h, m_c)
